@@ -1,0 +1,351 @@
+"""The CDC replay engine: bronze WAL epochs -> silver upsert -> checkpoint.
+
+Orchestration is plain function calls in dependency order (the reference's
+Airflow DAGs collapse to this, ``trip_pipeline.py:131-132`` ≙ SURVEY.md §2.9 I7).
+
+Per-epoch dataflow (`apply_epoch`)::
+
+    bronze.read_epoch(e)                       -- directory-pruned scan
+      |> skip partitions already in manifest   -- exactly-once fast path
+      |> reconcile to silver superset schema   -- typed-NULL padding (evolution)
+      |> lww_dedup (full key, (lsn, op_rank))  -- shuffle #1: hash(conv,turn)
+      |> MERGE INTO silver, LWW resolver       -- union w/ touched buckets,
+      |                                           shuffle #2 window + salted
+      |                                           bucketed write on hash(conv_id)
+      |> write commit manifests (epoch, partition_id) + lineage stats
+      |> advance checkpoint, append metrics
+
+Shuffle accounting (scale design): exactly two key shuffles per epoch — the
+dedup window and the merge-resolve window — plus the salted write repartition
+(hash(conv_id) buckets, hot conversations spread over `write_salt` tasks by a
+deterministic key-hash salt; see lake.table._write_data_files). No redundant
+conv-level repartition sits between them: the window's own hash exchange on
+the *full* key already spreads hot conversations across turn_idx.
+
+Exactly-once: two complementary mechanisms.
+1. Commit manifests keyed (checkpoint_epoch, partition_id) — written after the
+   silver snapshot commit; `apply_epoch` first drops any source partition that
+   already has a manifest, so a replayed/duplicated epoch is a no-op scan.
+2. LWW merge resolution — even if the process dies *between* the snapshot
+   commit and the manifest write, re-applying the same events is a semantic
+   no-op: every change loses the (lsn, op_rank) comparison against the state
+   it already produced. Idempotence is therefore end-to-end, not merely
+   best-effort rerun tolerance (the reference's retry-by-rerun,
+   ``staging.py:40,72-73``, made exact).
+
+Deletes persist in silver as tombstones (op='D') so late/stale events can
+never resurrect a deleted turn; the logical view (`silver_view`) filters them.
+Tombstones older than the replay low-watermark are purged by `compact()`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+from ..lake import LakeCatalog, merge_into
+from ..sources.bronze import BronzeLog
+from .dedup import lww_dedup
+from .reconcile import reconcile_to_schema
+from .schemas import EVENT_SCHEMA_V1, KEY_COLS
+from .skew import detect_hot_keys
+
+# Event columns that are WAL metadata, not part of the silver entity payload.
+_EVENT_META = {"schema_version", "partition_id", "checkpoint_epoch"}
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = path + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+class CdcEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        n_buckets: int = 32,
+        write_salt: int = 4,
+        hot_key_threshold: int = 50_000,
+    ):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.catalog = LakeCatalog(spark, warehouse)
+        self.n_buckets = n_buckets
+        self.write_salt = write_salt
+        self.hot_key_threshold = hot_key_threshold
+        self._meta = os.path.join(warehouse, "_meta")
+        self._manifest_dir = os.path.join(self._meta, "manifests")
+        self._metrics_dir = os.path.join(self._meta, "metrics")
+        self._checkpoint_file = os.path.join(self._meta, "checkpoint.json")
+        self.bronze = BronzeLog(spark, os.path.join(warehouse, "bronze", "change_events"))
+
+    # -- setup -----------------------------------------------------------------
+
+    def init_tables(self, event_schema: StructType = EVENT_SCHEMA_V1) -> None:
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        os.makedirs(self._metrics_dir, exist_ok=True)
+        if not self.bronze.exists():
+            BronzeLog.create(self.spark, self.bronze.path, event_schema)
+        if not self.catalog.table_exists("silver.transcript_turns"):
+            self.catalog.create_table(
+                "silver.transcript_turns",
+                self._silver_schema_for(event_schema),
+                key_cols=KEY_COLS,
+                # Locality spec: bucket by conversation (≙ CLUSTER BY
+                # start_station_id, raw_trips_current.sql:19); merge identity
+                # stays the full key.
+                bucket_cols=["conv_id"],
+                n_buckets=self.n_buckets,
+                write_salt=self.write_salt,
+            )
+
+    @staticmethod
+    def _silver_schema_for(event_schema: StructType) -> StructType:
+        payload = [
+            StructField(f.name, f.dataType, True)
+            for f in event_schema.fields
+            if f.name not in _EVENT_META and f.name not in ("lsn", "op")
+        ]
+        return StructType(
+            payload
+            + [
+                StructField("lsn", event_schema["lsn"].dataType, False),
+                StructField("op", event_schema["op"].dataType, False),
+                StructField("ingest_epoch", event_schema["checkpoint_epoch"].dataType, True),
+            ]
+        )
+
+    @property
+    def silver(self):
+        return self.catalog.load_table("silver.transcript_turns")
+
+    # -- ingestion (WAL tail -> bronze) ------------------------------------------
+
+    def ingest_epoch_pandas(self, pdf: pd.DataFrame, epoch: int) -> None:
+        """Land one epoch; evolves bronze schema forward if new columns appear
+        (the v1 -> v2 `tool` seam, FIXTURES.md F2 prop 6)."""
+        cur = self.bronze.schema()
+        have = {f.name for f in cur.fields}
+        new_cols = [c for c in pdf.columns if c not in have]
+        if new_cols:
+            # insert payload columns before the meta tail, preserving
+            # event-schema shape; all evolved columns are nullable strings
+            # unless told otherwise (only `tool` in this corpus)
+            fields = [f for f in cur.fields if f.name not in _EVENT_META]
+            meta = [f for f in cur.fields if f.name in _EVENT_META]
+            from pyspark.sql.types import StringType
+
+            for c in new_cols:
+                fields.append(StructField(c, StringType(), True))
+            self.bronze.evolve_schema(StructType(fields + meta))
+        self.bronze.append_epoch_pandas(
+            pdf.reindex(columns=[f.name for f in self.bronze.schema().fields]), epoch
+        )
+
+    # -- exactly-once bookkeeping ---------------------------------------------
+
+    def committed_partitions(self, epoch: int) -> set[int]:
+        pre = f"e{epoch:06d}_p"
+        return {
+            int(fn[len(pre):-5])
+            for fn in os.listdir(self._manifest_dir)
+            if fn.startswith(pre) and fn.endswith(".json")
+        }
+
+    def _write_manifests(self, epoch: int, part_stats: list[dict], snapshot_id: int) -> None:
+        for st in part_stats:
+            p = int(st["partition_id"])
+            _atomic_write_json(
+                os.path.join(self._manifest_dir, f"e{epoch:06d}_p{p:04d}.json"),
+                {
+                    "checkpoint_epoch": epoch,
+                    "partition_id": p,
+                    "n_events": int(st["n_events"]),
+                    "min_lsn": int(st["min_lsn"]),
+                    "max_lsn": int(st["max_lsn"]),
+                    "snapshot_id": snapshot_id,
+                    "committed_at": time.time(),
+                },
+            )
+
+    def checkpoint(self) -> dict:
+        if not os.path.exists(self._checkpoint_file):
+            return {"last_epoch": -1, "snapshot_id": 0}
+        with open(self._checkpoint_file) as f:
+            return json.load(f)
+
+    def _advance_checkpoint(self, epoch: int, snapshot_id: int) -> None:
+        _atomic_write_json(
+            self._checkpoint_file, {"last_epoch": epoch, "snapshot_id": snapshot_id}
+        )
+
+    # -- the apply path ------------------------------------------------------------
+
+    def _lww_resolver(self):
+        silver_cols = [f.name for f in self.silver.schema().fields]
+
+        def resolve(target: DataFrame, changes: DataFrame) -> DataFrame:
+            # Union current bucket contents with the change-set and let the
+            # same documented total order (lsn, op_rank) pick every winner —
+            # stale cross-epoch redeliveries lose to existing state, fresh
+            # changes beat it. Tombstones ('D' winners) are RETAINED.
+            return lww_dedup(
+                target.select(*silver_cols).unionByName(changes.select(*silver_cols))
+            )
+
+        return resolve
+
+    def apply_epoch(self, epoch: int) -> dict:
+        """Apply one epoch's change events to silver. Returns metrics dict."""
+        t0 = time.time()
+        silver = self.silver
+
+        events = self.bronze.read_epoch(epoch)
+
+        # exactly-once: drop source partitions already committed for this epoch
+        done = self.committed_partitions(epoch)
+        if done:
+            events = events.filter(~F.col("partition_id").isin([int(p) for p in done]))
+
+        # per-partition lineage stats (small: n_partitions rows)
+        part_stats = [
+            r.asDict()
+            for r in events.groupBy("partition_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min("lsn").alias("min_lsn"),
+                F.max("lsn").alias("max_lsn"),
+            )
+            .collect()
+        ]
+        n_events = int(sum(s["n_events"] for s in part_stats))
+        if n_events == 0:
+            metrics = {
+                "epoch": epoch,
+                "events_read": 0,
+                "skipped": True,
+                "wall_sec": time.time() - t0,
+            }
+            self._write_metrics(epoch, metrics)
+            return metrics
+
+        # schema evolution: any new payload column -> silver ADD COLUMN
+        silver_have = {f.name for f in silver.schema().fields}
+        new_payload = [
+            f
+            for f in events.schema.fields
+            if f.name not in _EVENT_META and f.name not in silver_have
+        ]
+        if new_payload:
+            silver.add_columns([StructField(f.name, f.dataType, True) for f in new_payload])
+            silver = self.silver  # reload snapshot
+
+        # observability: hot conversations in this epoch (drives salt sizing)
+        hot = detect_hot_keys(events, threshold=self.hot_key_threshold)
+
+        # LWW dedup to ≤1 row/key, then project to silver schema
+        changes = lww_dedup(events).withColumn(
+            "ingest_epoch", F.lit(epoch).cast("int")
+        )
+        changes = reconcile_to_schema(
+            changes.drop(*(c for c in _EVENT_META if c in changes.columns)),
+            silver.schema(),
+        )
+
+        stats = merge_into(
+            silver,
+            changes,
+            resolver=self._lww_resolver(),
+            summary={"epoch": epoch},
+        )
+
+        # manifests AFTER the atomic snapshot commit; a crash in between is
+        # safe because LWW re-application is a semantic no-op (see module doc)
+        self._write_manifests(epoch, part_stats, stats["snapshot_id"])
+        self._advance_checkpoint(epoch, stats["snapshot_id"])
+
+        wall = time.time() - t0
+        metrics = {
+            "epoch": epoch,
+            "events_read": n_events,
+            "partitions": len(part_stats),
+            "buckets_touched": stats["buckets_touched"],
+            "hot_convs": hot,
+            "snapshot_id": stats["snapshot_id"],
+            "wall_sec": wall,
+            "events_per_sec": n_events / wall if wall > 0 else None,
+            "skipped": False,
+        }
+        self._write_metrics(epoch, metrics)
+        return metrics
+
+    def replay(self, to_epoch: int | None = None) -> list[dict]:
+        """Resume from the checkpoint and apply all landed epochs (≤ to_epoch)."""
+        start = self.checkpoint()["last_epoch"] + 1
+        out = []
+        for e in self.bronze.epochs():
+            if e < start:
+                continue
+            if to_epoch is not None and e > to_epoch:
+                break
+            out.append(self.apply_epoch(e))
+        return out
+
+    # -- serving views -------------------------------------------------------------
+
+    def silver_view(self) -> DataFrame:
+        """Logical silver: live turns only (tombstones filtered), stable
+        (conv_id, turn_idx, lsn) order available via the kept lsn column."""
+        return self.silver.read().filter(F.col("op") != "D").drop("op", "ingest_epoch")
+
+    def compact(self) -> dict:
+        """Purge tombstones below the replay low-watermark + expire snapshots.
+
+        Safe once no event with lsn ≤ watermark can ever be redelivered (the
+        WAL retention contract). Full-table rewrite — run rarely, off-path.
+        """
+        silver = self.silver
+        live = silver.read().filter(F.col("op") != "D")
+        snap = silver.overwrite(live, summary={"operation": "compact"})
+        removed = silver.expire_snapshots(keep_last=2)
+        return {"snapshot_id": snap.snapshot_id, "files_removed": removed}
+
+    # -- observability ---------------------------------------------------------------
+
+    def _write_metrics(self, epoch: int, metrics: dict) -> None:
+        _atomic_write_json(
+            os.path.join(self._metrics_dir, f"e{epoch:06d}_{uuid.uuid4().hex[:8]}.json"),
+            metrics,
+        )
+
+    def metrics(self) -> list[dict]:
+        out = []
+        for fn in sorted(os.listdir(self._metrics_dir)):
+            with open(os.path.join(self._metrics_dir, fn)) as f:
+                out.append(json.load(f))
+        return out
+
+    def lineage(self) -> list[dict]:
+        out = []
+        for fn in sorted(os.listdir(self._manifest_dir)):
+            with open(os.path.join(self._manifest_dir, fn)) as f:
+                out.append(json.load(f))
+        return out
+
+    def lineage_df(self) -> DataFrame:
+        rows = self.lineage()
+        schema = (
+            "checkpoint_epoch int, partition_id int, n_events long, "
+            "min_lsn long, max_lsn long, snapshot_id long, committed_at double"
+        )
+        return self.spark.createDataFrame(rows, schema) if rows else self.spark.createDataFrame([], schema)

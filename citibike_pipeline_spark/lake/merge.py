@@ -1,0 +1,87 @@
+"""MERGE INTO over snapshot tables — keyed upsert with delete support.
+
+Semantics (identical to Iceberg/ANSI MERGE with the CDC clause set in
+SURVEY.md §2.9 I2)::
+
+    MERGE INTO target t USING changes c ON t.<key> = c.<key>
+    WHEN MATCHED AND c.op = 'D' THEN DELETE
+    WHEN MATCHED                THEN UPDATE SET *
+    WHEN NOT MATCHED AND c.op != 'D' THEN INSERT *
+
+The change-set MUST be pre-deduplicated to at most one row per key (the LWW
+window in cdc.dedup) — like Iceberg, duplicate source keys are an error; that
+contract is what makes the rewrite below correct.
+
+Physical strategy (copy-on-write, bucket granularity):
+
+1. bucket ids touched by the change-set  -> tiny collect (≤ n_buckets ints)
+2. target rows in ONLY those buckets     -> manifest-pruned scan
+3. resolver(target_subset, changes)      -> new content of those buckets
+   (default: target ⟕anti changes ∪ non-delete changes — "source wins";
+   the CDC engine passes an LWW resolver that keeps whichever of
+   target/change has the greater (lsn, op_rank), so stale redeliveries
+   from earlier epochs can never clobber newer state)
+4. replace_buckets(...)                  -> one atomic snapshot commit
+
+Buckets untouched by the epoch are never read or rewritten, so the cost per
+epoch scales with the change-set's key spread, not table size — the property
+that keeps a 10^10-row target mergeable. Both join sides shuffle on the same
+key columns; AQE's skew-join handles hot keys on the join side.
+
+Reference analog being replaced: per-batch DELETE main WHERE key-range +
+INSERT from staging (``citibike/database/staging.py:43-73``) and dbt
+incremental MERGE by unique_key (``silver_trips.sql:1-10``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .table import BUCKET_COL, LakeTable, bucket_expr
+
+OP_COL = "op"
+
+
+def _source_wins_resolver(cols: list[str], keys: list[str]):
+    def resolve(target: DataFrame, changes: DataFrame) -> DataFrame:
+        survivors = target.join(changes.select(*keys), on=keys, how="left_anti")
+        upserts = changes.filter(F.col(OP_COL) != F.lit("D")).select(*cols)
+        return survivors.select(*cols).unionByName(upserts)
+
+    return resolve
+
+
+def merge_into(
+    table: LakeTable,
+    changes: DataFrame,
+    resolver: Callable[[DataFrame, DataFrame], DataFrame] | None = None,
+    summary: dict | None = None,
+) -> dict:
+    """Apply a deduped keyed change-set (with `op` in I/U/D) to the table.
+
+    Returns merge stats {buckets_touched, snapshot_id}.
+    """
+    snap = table.current_snapshot()
+    keys = snap.key_cols
+    cols = [f.name for f in snap.schema().fields]
+
+    changes = changes.withColumn(BUCKET_COL, bucket_expr(keys, snap.n_buckets))
+
+    # (1) Which buckets does this epoch touch? Tiny result — safe to collect.
+    touched = [r[0] for r in changes.select(BUCKET_COL).distinct().collect()]
+    if not touched:
+        return {"buckets_touched": 0, "snapshot_id": snap.snapshot_id}
+
+    # The change-set feeds two plan branches (per resolver); avoid recompute.
+    changes = changes.drop(BUCKET_COL).persist()
+    try:
+        target = table.read(buckets=touched)
+        resolve = resolver or _source_wins_resolver(cols, keys)
+        merged = resolve(target, changes).select(*cols)
+        new_snap = table.replace_buckets(merged, touched, summary=summary)
+        return {"buckets_touched": len(touched), "snapshot_id": new_snap.snapshot_id}
+    finally:
+        changes.unpersist()

@@ -1,0 +1,364 @@
+"""Snapshot-committed parquet table format.
+
+Layout on disk (any filesystem Spark can write; local in the sandbox,
+HDFS/S3 on a cluster)::
+
+    <warehouse>/<namespace>/<table>/
+        data/<uuid>/_bucket=<k>/part-*.parquet   -- immutable data files
+        snapshots/v{N}.json                      -- snapshot manifests
+        VERSION                                  -- pointer, atomic os.replace
+
+A snapshot manifest records the table schema (JSON), the bucket spec, and the
+exact list of live data files with their bucket ids. Readers resolve VERSION
+-> snapshot -> file list and read with the snapshot schema, so files written
+before a schema evolution pad missing columns with typed NULLs (the engine's
+in-place analog of the reference's typed-NULL projection seam,
+``stg_trips_current.sql:27-37``).
+
+Commits are single-writer driver-side (same as Iceberg): write the new
+snapshot file, then atomically replace VERSION. A crash before the replace
+leaves the table at the old snapshot with only orphan data files — exactly
+Iceberg's failure mode, and the basis of the CDC engine's exactly-once story.
+
+Scale notes: data is hash-bucketed on the table's key columns
+(``xxhash64 pmod n_buckets``). MERGE rewrites only touched buckets;
+bucket-pruned scans read only matching files. At 100 TB you'd raise
+``n_buckets`` (e.g. 4096) and add a time-partition dimension; both are
+manifest-level knobs, not code changes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+BUCKET_COL = "_bucket"
+
+
+def bucket_expr(key_cols: list[str], n_buckets: int):
+    """Deterministic bucket id for a row: xxhash64(keys) pmod n_buckets.
+
+    xxhash64 is a stable JVM-side hash (whole-stage codegen friendly); both
+    the writer and MERGE use this same expression so change-sets land on the
+    same buckets as the target rows they touch.
+    """
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    schema_json: str
+    key_cols: list[str]          # merge identity (e.g. conv_id, turn_idx)
+    n_buckets: int
+    bucket_cols: list[str] = None  # layout/locality key (e.g. conv_id alone)
+    write_salt: int = 4          # hot-bucket write spread (skew splitting)
+    files: list[dict[str, Any]] = field(default_factory=list)  # {path, bucket}
+    parent_id: int | None = None
+    summary: dict[str, Any] = field(default_factory=dict)
+
+    def __post_init__(self):
+        if self.bucket_cols is None:
+            self.bucket_cols = list(self.key_cols)
+
+    def schema(self) -> StructType:
+        return StructType.fromJson(json.loads(self.schema_json))
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "snapshot_id": self.snapshot_id,
+                "schema": json.loads(self.schema_json),
+                "key_cols": self.key_cols,
+                "n_buckets": self.n_buckets,
+                "bucket_cols": self.bucket_cols,
+                "write_salt": self.write_salt,
+                "files": self.files,
+                "parent_id": self.parent_id,
+                "summary": self.summary,
+            }
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "Snapshot":
+        d = json.loads(s)
+        return Snapshot(
+            snapshot_id=d["snapshot_id"],
+            schema_json=json.dumps(d["schema"]),
+            key_cols=d["key_cols"],
+            n_buckets=d["n_buckets"],
+            bucket_cols=d.get("bucket_cols"),
+            write_salt=d.get("write_salt", 4),
+            files=d["files"],
+            parent_id=d.get("parent_id"),
+            summary=d.get("summary", {}),
+        )
+
+
+class LakeTable:
+    """One snapshot-committed table. Construct via LakeCatalog."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._data_dir = os.path.join(path, "data")
+        self._snap_dir = os.path.join(path, "snapshots")
+        self._version_file = os.path.join(path, "VERSION")
+
+    # -- lifecycle ---------------------------------------------------------
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        path: str,
+        schema: StructType,
+        key_cols: list[str],
+        n_buckets: int = 32,
+        bucket_cols: list[str] | None = None,
+        write_salt: int = 4,
+    ) -> "LakeTable":
+        t = LakeTable(spark, path)
+        os.makedirs(t._data_dir, exist_ok=True)
+        os.makedirs(t._snap_dir, exist_ok=True)
+        snap = Snapshot(
+            snapshot_id=0,
+            schema_json=json.dumps(schema.jsonValue()),
+            key_cols=key_cols,
+            n_buckets=n_buckets,
+            bucket_cols=bucket_cols,
+            write_salt=write_salt,
+            files=[],
+            summary={"operation": "create"},
+        )
+        t._commit(snap)
+        return t
+
+    def exists(self) -> bool:
+        return os.path.exists(self._version_file)
+
+    # -- snapshot plumbing ---------------------------------------------------
+
+    def current_snapshot(self) -> Snapshot:
+        with open(self._version_file) as f:
+            v = f.read().strip()
+        with open(os.path.join(self._snap_dir, f"{v}.json")) as f:
+            return Snapshot.from_json(f.read())
+
+    def snapshot_history(self) -> list[int]:
+        return sorted(
+            int(p[1:-5]) for p in os.listdir(self._snap_dir) if p.endswith(".json")
+        )
+
+    def _commit(self, snap: Snapshot) -> None:
+        """Atomic commit: write snapshot manifest, then swap the pointer.
+
+        os.replace is atomic on POSIX — the table is never observable in a
+        half-committed state (the all-or-nothing the reference *documents but
+        does not have* across its DELETE+INSERT pair, staging.py:55-71).
+        """
+        snap_path = os.path.join(self._snap_dir, f"v{snap.snapshot_id:09d}.json")
+        with open(snap_path, "w") as f:
+            f.write(snap.to_json())
+        tmp = self._version_file + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(f"v{snap.snapshot_id:09d}")
+        os.replace(tmp, self._version_file)
+
+    # -- read ----------------------------------------------------------------
+
+    def read(self, buckets: list[int] | None = None, snapshot_id: int | None = None) -> DataFrame:
+        """Scan the table (optionally bucket-pruned / time-travel).
+
+        Bucket pruning is manifest-level: only files whose bucket is in
+        ``buckets`` are listed to Spark at all — the file-skipping equivalent
+        of Iceberg partition pruning / BQ `CLUSTER BY` locality
+        (``raw_trips_current.sql:19``).
+        """
+        if snapshot_id is None:
+            snap = self.current_snapshot()
+        else:
+            with open(os.path.join(self._snap_dir, f"v{snapshot_id:09d}.json")) as f:
+                snap = Snapshot.from_json(f.read())
+        schema = snap.schema()
+        files = snap.files
+        if buckets is not None:
+            bset = set(buckets)
+            files = [f for f in files if f["bucket"] in bset]
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        # Explicit snapshot schema: files predating an ADD COLUMN evolve by
+        # padding typed NULLs at scan time (no rewrite).
+        return self.spark.read.schema(schema).parquet(*[f["path"] for f in files])
+
+    def schema(self) -> StructType:
+        return self.current_snapshot().schema()
+
+    # -- write ---------------------------------------------------------------
+
+    def _write_data_files(self, df: DataFrame, snap: Snapshot) -> list[dict[str, Any]]:
+        """Write df (already projected to table schema) as bucketed data files.
+
+        The explicit repartition on (bucket(hash(bucket_cols)), salt) is the
+        north-rule's "salted key-partitioned" write: each bucket's data is
+        clustered for locality, and a hot bucket (hot conversation) spreads
+        over `write_salt` concurrent write tasks instead of one fat straggler.
+        The salt is a deterministic hash of the full key — retries salt
+        identically (exactly-once safe), no rand().
+        """
+        out = os.path.join(self._data_dir, uuid.uuid4().hex)
+        cols = [f.name for f in snap.schema().fields]
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in snap.key_cols]), F.lit(max(snap.write_salt, 1)))
+        (
+            df.select(*cols, bucket_expr(snap.bucket_cols, snap.n_buckets).alias(BUCKET_COL))
+            .repartition(F.col(BUCKET_COL), salt)
+            .write.partitionBy(BUCKET_COL)
+            .parquet(out, mode="overwrite")
+        )
+        files: list[dict[str, Any]] = []
+        for bdir in os.listdir(out):
+            if not bdir.startswith(f"{BUCKET_COL}="):
+                continue
+            b = int(bdir.split("=")[1])
+            for fn in os.listdir(os.path.join(out, bdir)):
+                if fn.endswith(".parquet"):
+                    files.append({"path": os.path.join(out, bdir, fn), "bucket": b})
+        return files
+
+    def append(self, df: DataFrame, summary: dict[str, Any] | None = None) -> Snapshot:
+        snap = self.current_snapshot()
+        new_files = self._write_data_files(df, snap)
+        nxt = Snapshot(
+            snapshot_id=snap.snapshot_id + 1,
+            schema_json=snap.schema_json,
+            key_cols=snap.key_cols,
+            n_buckets=snap.n_buckets,
+            bucket_cols=snap.bucket_cols,
+            write_salt=snap.write_salt,
+            files=snap.files + new_files,
+            parent_id=snap.snapshot_id,
+            summary={"operation": "append", **(summary or {})},
+        )
+        self._commit(nxt)
+        return nxt
+
+    def overwrite(self, df: DataFrame, summary: dict[str, Any] | None = None) -> Snapshot:
+        """Full replace — the reference's WRITE_TRUNCATE sink
+        (``analysis.py:216-226``), as one atomic snapshot."""
+        snap = self.current_snapshot()
+        new_files = self._write_data_files(df, snap)
+        nxt = Snapshot(
+            snapshot_id=snap.snapshot_id + 1,
+            schema_json=snap.schema_json,
+            key_cols=snap.key_cols,
+            n_buckets=snap.n_buckets,
+            bucket_cols=snap.bucket_cols,
+            write_salt=snap.write_salt,
+            files=new_files,
+            parent_id=snap.snapshot_id,
+            summary={"operation": "overwrite", **(summary or {})},
+        )
+        self._commit(nxt)
+        return nxt
+
+    def replace_buckets(
+        self, df: DataFrame, buckets: list[int], summary: dict[str, Any] | None = None
+    ) -> Snapshot:
+        """Copy-on-write at bucket granularity: keep every file outside
+        ``buckets``, replace everything inside them with ``df``'s files.
+        This is the commit primitive under MERGE (lake.merge.merge_into)."""
+        snap = self.current_snapshot()
+        bset = set(buckets)
+        new_files = self._write_data_files(df, snap)
+        for f in new_files:
+            if f["bucket"] not in bset:
+                raise ValueError(
+                    f"replace_buckets: data landed in untouched bucket {f['bucket']}"
+                )
+        kept = [f for f in snap.files if f["bucket"] not in bset]
+        nxt = Snapshot(
+            snapshot_id=snap.snapshot_id + 1,
+            schema_json=snap.schema_json,
+            key_cols=snap.key_cols,
+            n_buckets=snap.n_buckets,
+            bucket_cols=snap.bucket_cols,
+            write_salt=snap.write_salt,
+            files=kept + new_files,
+            parent_id=snap.snapshot_id,
+            summary={"operation": "replace_buckets", "buckets": sorted(bset), **(summary or {})},
+        )
+        self._commit(nxt)
+        return nxt
+
+    # -- schema evolution ------------------------------------------------------
+
+    def add_columns(self, new_fields: StructType | list) -> Snapshot:
+        """In-place ADD COLUMN: manifest-only commit, no data rewrite.
+
+        Old files pad typed NULLs at read time. The engine's replacement for
+        the reference's fork-into-two-tables evolution (``trips.py:13-19`` +
+        superset projection ``stg_trips_current.sql:27-37``).
+        """
+        snap = self.current_snapshot()
+        schema = snap.schema()
+        existing = {f.name for f in schema.fields}
+        fields = list(new_fields.fields) if isinstance(new_fields, StructType) else list(new_fields)
+        added = []
+        for f in fields:
+            if f.name in existing:
+                continue
+            if not f.nullable:
+                raise ValueError(f"added column {f.name} must be nullable")
+            schema = schema.add(f)
+            added.append(f.name)
+        if not added:
+            return snap
+        nxt = Snapshot(
+            snapshot_id=snap.snapshot_id + 1,
+            schema_json=json.dumps(schema.jsonValue()),
+            key_cols=snap.key_cols,
+            n_buckets=snap.n_buckets,
+            bucket_cols=snap.bucket_cols,
+            write_salt=snap.write_salt,
+            files=snap.files,
+            parent_id=snap.snapshot_id,
+            summary={"operation": "add_columns", "columns": added},
+        )
+        self._commit(nxt)
+        return nxt
+
+    # -- maintenance -------------------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 2) -> int:
+        """Drop old snapshot manifests + orphaned data files (Iceberg
+        expire_snapshots analog). Returns number of data files removed."""
+        history = self.snapshot_history()
+        if len(history) <= keep_last:
+            return 0
+        keep_ids = set(history[-keep_last:])
+        live: set[str] = set()
+        for sid in keep_ids:
+            with open(os.path.join(self._snap_dir, f"v{sid:09d}.json")) as f:
+                live.update(x["path"] for x in Snapshot.from_json(f.read()).files)
+        removed = 0
+        for sid in history:
+            if sid not in keep_ids:
+                os.remove(os.path.join(self._snap_dir, f"v{sid:09d}.json"))
+        for d in list(os.listdir(self._data_dir)):
+            root = os.path.join(self._data_dir, d)
+            for bdir, _, fns in list(os.walk(root)):
+                for fn in fns:
+                    p = os.path.join(bdir, fn)
+                    if fn.endswith(".parquet") and p not in live:
+                        os.remove(p)
+                        removed += 1
+            if not any(fns for _, _, fns in os.walk(root)):
+                shutil.rmtree(root, ignore_errors=True)
+        return removed

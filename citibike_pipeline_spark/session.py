@@ -1,0 +1,73 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference delegates all physical design to BigQuery plus manual schema-level
+knobs (partitioning/clustering DDLs, ``raw_trips_current.sql:18-19``,
+``silver_trips.sql:4-9``). Here the equivalents are session configs: AQE
+(runtime re-plan + skew-join splitting), explicit shuffle parallelism, Arrow
+for pandas-UDF exchange, and broadcast-join thresholds for small dims.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# One advisory partition ~ one core's worth of work at test scale. On a real
+# cluster this comes from spark-submit conf; these are local-mode defaults.
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "citibike_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for the CDC/analytics workload.
+
+    ``master`` resolution: explicit param > ``local[$SPARK_GRAFT_CPUS]`` (env) >
+    whatever spark-submit provided (never overridden) > ``local[*]``.
+    All configs are cluster-safe: on a real cluster the same code runs under
+    ``spark-submit --py-files`` with master coming from the launcher.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        if cpus:
+            master = f"local[{cpus}]"
+        elif "PYSPARK_GATEWAY_PORT" not in os.environ:
+            # plain `python script.py` (no launcher): default local[*].
+            # Under spark-submit the PythonRunner gateway env is present and
+            # the launcher's --master must win, so leave master unset there.
+            master = "local[*]"
+    sp = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    builder = (
+        builder
+        # Adaptive execution: runtime coalescing of small shuffle partitions and
+        # skew-join splitting — the engine's answer to hot conversations on the
+        # join side (salting handles the groupBy/window side, cdc.skew).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(sp))
+        # Arrow transfer for pandas UDFs (the only sanctioned Python path).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Small dims (tool catalog, date spine, nation/region) must broadcast.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Timestamps are timezone-naive NYC-local in the reference
+        # (date_helpers.py:6-13); NTZ keeps wall-clock semantics exactly.
+        .config("spark.sql.timestampType", "TIMESTAMP_NTZ")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

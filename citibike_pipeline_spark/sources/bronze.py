@@ -1,0 +1,96 @@
+"""Bronze WAL/binlog landing zone: epoch-partitioned append-only parquet.
+
+The discretized stream. The reference's analog is one CSV file per monthly
+batch with a filename-derived ``_batch_key`` (``trips.py:35-37,55-67``); here
+each micro-batch/epoch lands under ``epoch=<e>/`` so an epoch replay is a
+directory-pruned scan — value-partition pruning, the same physical trick as
+BQ ``PARTITION BY DATE(_ingested_at)`` (``raw_trips_current.sql:18``).
+
+Bronze is append-only (a log), so it is deliberately NOT a snapshot table:
+no merge, no rewrite — just directories plus a schema file that evolves
+forward (v1 -> v2 adds `tool`, FIXTURES.md F2 property 6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+class BronzeLog:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._schema_file = os.path.join(path, "_schema.json")
+
+    @staticmethod
+    def create(spark: SparkSession, path: str, schema: StructType) -> "BronzeLog":
+        os.makedirs(path, exist_ok=True)
+        log = BronzeLog(spark, path)
+        log._write_schema(schema)
+        return log
+
+    def exists(self) -> bool:
+        return os.path.exists(self._schema_file)
+
+    def _write_schema(self, schema: StructType) -> None:
+        tmp = self._schema_file + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(schema.jsonValue(), f)
+        os.replace(tmp, self._schema_file)
+
+    def schema(self) -> StructType:
+        with open(self._schema_file) as f:
+            return StructType.fromJson(json.load(f))
+
+    def evolve_schema(self, new_schema: StructType) -> None:
+        """Forward-only evolution: new columns appended, none dropped."""
+        cur = {f.name for f in self.schema().fields}
+        new = {f.name for f in new_schema.fields}
+        if not cur.issubset(new):
+            raise ValueError(f"bronze schema evolution cannot drop columns: {cur - new}")
+        self._write_schema(new_schema)
+
+    def append_epoch(self, df: DataFrame, epoch: int) -> None:
+        """Land one epoch's events. Idempotent per (epoch, attempt dir): a
+        retried landing overwrites the epoch directory atomically enough for
+        the sandbox; real deployments land via the same snapshot-commit
+        pattern or Kafka offsets."""
+        out = os.path.join(self.path, f"epoch={epoch}")
+        cols = [f.name for f in self.schema().fields]
+        df.select(*cols).write.parquet(out, mode="overwrite")
+
+    def append_epoch_pandas(self, pdf: pd.DataFrame, epoch: int) -> None:
+        sdf = self.spark.createDataFrame(pdf, schema=self.schema())
+        self.append_epoch(sdf, epoch)
+
+    def read_epoch(self, epoch: int) -> DataFrame:
+        """Directory-pruned scan of exactly one epoch."""
+        out = os.path.join(self.path, f"epoch={epoch}")
+        if not os.path.exists(out):
+            return self.spark.createDataFrame([], self.schema())
+        return self.spark.read.schema(self.schema()).parquet(out)
+
+    def read_epochs(self, lo: int, hi: int) -> DataFrame:
+        """Half-open range [lo, hi) — checkpoint replay input."""
+        dirs = [
+            os.path.join(self.path, f"epoch={e}")
+            for e in range(lo, hi)
+            if os.path.exists(os.path.join(self.path, f"epoch={e}"))
+        ]
+        if not dirs:
+            return self.spark.createDataFrame([], self.schema())
+        return self.spark.read.schema(self.schema()).parquet(*dirs)
+
+    def epochs(self) -> list[int]:
+        return sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(self.path)
+            if d.startswith("epoch=")
+        )

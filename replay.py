@@ -1,0 +1,117 @@
+"""CDC replay driver — the engine's spark-submit entrypoint.
+
+Usage (north-rule launch mode)::
+
+    zip -r engine.zip citibike_pipeline_spark
+    spark-submit --master local[32] --py-files engine.zip replay.py \
+        --warehouse /tmp/wh --convs 1000 --epochs 8 --events-per-epoch 50000 \
+        [--from-checkpoint]   # resume instead of fresh init
+
+Generates the deterministic WAL corpus (seeded), lands it in bronze, replays
+every epoch through the silver MERGE path, rebuilds gold, verifies final-state
+parity against the independent pandas oracle, and prints one JSON line with
+throughput — the BASELINE.md measurement protocol.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--warehouse", default="/tmp/cdc_warehouse")
+    ap.add_argument("--convs", type=int, default=1000)
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--events-per-epoch", type=int, default=50_000)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--n-buckets", type=int, default=32)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--from-checkpoint", action="store_true",
+                    help="resume from the existing warehouse checkpoint")
+    ap.add_argument("--skip-parity", action="store_true",
+                    help="skip the oracle parity check (pure throughput run)")
+    ap.add_argument("--skip-gold", action="store_true")
+    args = ap.parse_args()
+
+    from citibike_pipeline_spark.session import get_spark
+    from citibike_pipeline_spark.cdc import CdcEngine
+    from citibike_pipeline_spark.cdc.generator import GenConfig, generate_epoch, generate_corpus_pandas
+    from citibike_pipeline_spark.cdc.oracle import expected_silver
+    from citibike_pipeline_spark.plans import build_gold
+
+    spark = get_spark("cdc-replay", shuffle_partitions=args.shuffle_partitions)
+    cores = spark.sparkContext.defaultParallelism
+
+    cfg = GenConfig(
+        n_convs=args.convs,
+        n_epochs=args.epochs,
+        events_per_epoch=args.events_per_epoch,
+        seed=args.seed,
+        evolution_epoch=max(args.epochs // 2, 1),
+    )
+    eng = CdcEngine(spark, args.warehouse, n_buckets=args.n_buckets)
+
+    if not args.from_checkpoint:
+        shutil.rmtree(args.warehouse, ignore_errors=True)
+        eng = CdcEngine(spark, args.warehouse, n_buckets=args.n_buckets)
+        eng.init_tables()
+        t_gen = time.time()
+        for e in range(cfg.n_epochs):
+            eng.ingest_epoch_pandas(generate_epoch(cfg, e), e)
+        gen_sec = time.time() - t_gen
+    else:
+        gen_sec = 0.0
+
+    t0 = time.time()
+    metrics = eng.replay()
+    replay_sec = time.time() - t0
+    events = sum(m.get("events_read", 0) for m in metrics)
+
+    gold_counts = {}
+    if not args.skip_gold:
+        gold_counts = build_gold(eng)
+
+    parity = None
+    if not args.skip_parity:
+        got = (
+            eng.silver_view()
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx", "lsn"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        want = expected_silver(generate_corpus_pandas(cfg))
+        cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn"]
+        got = got[cols].reset_index(drop=True)
+        want = want[cols].reset_index(drop=True)
+        # normalize timestamp resolution (Arrow ns vs generator us)
+        got["ts"] = got["ts"].astype("datetime64[us]")
+        want["ts"] = want["ts"].astype("datetime64[us]")
+        parity = bool(len(got) == len(want) and got.equals(want))
+
+    print(
+        json.dumps(
+            {
+                "metric": "change_events_per_sec",
+                "value": round(events / replay_sec, 1) if replay_sec else None,
+                "unit": "events/sec",
+                "events_applied": events,
+                "replay_sec": round(replay_sec, 2),
+                "generate_sec": round(gen_sec, 2),
+                "epochs": len(metrics),
+                "cores": cores,
+                "parity": parity,
+                "silver_rows": int(eng.silver_view().count()),
+                "gold": gold_counts,
+                "checkpoint": eng.checkpoint(),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
