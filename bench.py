@@ -1,0 +1,110 @@
+"""Benchmark harness — one JSON line for the driver (BENCH_r{N}.json).
+
+Times (a) the CDC replay path (the BASELINE.json headline metric:
+change-events/sec applied to final-state parity) and (b) a set of headline
+analytic queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Env knobs:
+    SPARK_GRAFT_SF_DIR   testdata dir    (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     cores           (default 32)
+    BENCH_EVENTS         CDC events per epoch (default 100_000)
+    BENCH_EPOCHS         CDC epochs      (default 6)
+    BENCH_SKIP_CDC=1     skip the replay section
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_rolling_90d_top_parts",
+    "q04_lww_latest_event",
+    "q05_running_balance",
+    "q07_unpivot_daily_net",
+    "q13_date_spine_daily_orders",
+    "q15_two_level_agg",
+    "d02_token_stats",
+    "d05_minhash_lsh_pairs",
+    "e01_cosine_topk",
+    "e03_neardup_pairs",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from citibike_pipeline_spark.session import get_spark
+    from citibike_pipeline_spark.operators import REGISTRY
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    # warm the JVM/codegen once so per-query times measure the plan, not startup
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    queries: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        queries[name] = round(time.time() - t0, 3)
+
+    cdc = {}
+    if os.environ.get("BENCH_SKIP_CDC") != "1":
+        from citibike_pipeline_spark.cdc import CdcEngine
+        from citibike_pipeline_spark.cdc.generator import GenConfig, generate_epoch
+
+        n_epochs = int(os.environ.get("BENCH_EPOCHS", "6"))
+        per_epoch = int(os.environ.get("BENCH_EVENTS", "100000"))
+        cfg = GenConfig(
+            n_convs=max(per_epoch // 50, 100),
+            n_epochs=n_epochs,
+            events_per_epoch=per_epoch,
+            evolution_epoch=n_epochs // 2,
+        )
+        wh = f"/tmp/bench_wh_{cpus}"
+        shutil.rmtree(wh, ignore_errors=True)
+        eng = CdcEngine(spark, wh, n_buckets=32)
+        eng.init_tables()
+        for e in range(cfg.n_epochs):
+            eng.ingest_epoch_pandas(generate_epoch(cfg, e), e)
+        t0 = time.time()
+        metrics = eng.replay()
+        replay_sec = time.time() - t0
+        events = sum(m.get("events_read", 0) for m in metrics)
+        cdc = {
+            "cdc_events_applied": events,
+            "cdc_replay_sec": round(replay_sec, 2),
+            "cdc_events_per_sec": round(events / replay_sec, 1),
+            "cdc_silver_rows": int(eng.silver_view().count()),
+        }
+        shutil.rmtree(wh, ignore_errors=True)
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "cores": cpus,
+                **cdc,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

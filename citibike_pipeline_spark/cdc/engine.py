@@ -217,6 +217,10 @@ class CdcEngine:
         if done:
             events = events.filter(~F.col("partition_id").isin([int(p) for p in done]))
 
+        # one materialization of the epoch feeds lineage stats, hot-key
+        # detection, and the dedup window (3 passes over cache, 1 over disk)
+        events = events.persist()
+
         # per-partition lineage stats (small: n_partitions rows)
         part_stats = [
             r.asDict()
@@ -230,6 +234,7 @@ class CdcEngine:
         ]
         n_events = int(sum(s["n_events"] for s in part_stats))
         if n_events == 0:
+            events.unpersist()
             metrics = {
                 "epoch": epoch,
                 "events_read": 0,
@@ -262,12 +267,15 @@ class CdcEngine:
             silver.schema(),
         )
 
-        stats = merge_into(
-            silver,
-            changes,
-            resolver=self._lww_resolver(),
-            summary={"epoch": epoch},
-        )
+        try:
+            stats = merge_into(
+                silver,
+                changes,
+                resolver=self._lww_resolver(),
+                summary={"epoch": epoch},
+            )
+        finally:
+            events.unpersist()
 
         # manifests AFTER the atomic snapshot commit; a crash in between is
         # safe because LWW re-application is a semantic no-op (see module doc)
@@ -289,17 +297,113 @@ class CdcEngine:
         self._write_metrics(epoch, metrics)
         return metrics
 
-    def replay(self, to_epoch: int | None = None) -> list[dict]:
-        """Resume from the checkpoint and apply all landed epochs (≤ to_epoch)."""
+    def apply_epochs(self, epochs: list[int]) -> dict:
+        """Catch-up mode: apply a RANGE of pending epochs in ONE dedup+merge.
+
+        Correct because the LWW total order (lsn, op_rank) is global — final
+        state is independent of how the event stream is sliced into merges
+        (the property the parity tests pin down). Amortizes the per-merge
+        fixed cost (manifest checks, bucket collect, snapshot commit) across
+        the whole backlog: resume-after-downtime costs one merge, not one per
+        missed epoch. Per-(epoch, partition) manifests and lineage stats are
+        still recorded individually.
+        """
+        t0 = time.time()
+        silver = self.silver
+        events = self.bronze.read_epochs(min(epochs), max(epochs) + 1)
+
+        # exactly-once: exclude (epoch, partition) pairs already committed
+        for e in epochs:
+            done = self.committed_partitions(e)
+            if done:
+                events = events.filter(
+                    (F.col("checkpoint_epoch") != e)
+                    | ~F.col("partition_id").isin([int(p) for p in done])
+                )
+        events = events.persist()
+
+        part_stats = [
+            r.asDict()
+            for r in events.groupBy("checkpoint_epoch", "partition_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min("lsn").alias("min_lsn"),
+                F.max("lsn").alias("max_lsn"),
+            )
+            .collect()
+        ]
+        n_events = int(sum(s["n_events"] for s in part_stats))
+        if n_events == 0:
+            events.unpersist()
+            metrics = {"epochs": epochs, "events_read": 0, "skipped": True,
+                       "wall_sec": time.time() - t0}
+            self._write_metrics(max(epochs), metrics)
+            return metrics
+
+        silver_have = {f.name for f in silver.schema().fields}
+        new_payload = [
+            f for f in events.schema.fields
+            if f.name not in _EVENT_META and f.name not in silver_have
+        ]
+        if new_payload:
+            silver.add_columns([StructField(f.name, f.dataType, True) for f in new_payload])
+            silver = self.silver
+
+        hot = detect_hot_keys(events, threshold=self.hot_key_threshold)
+
+        changes = lww_dedup(events).withColumn(
+            "ingest_epoch", F.col("checkpoint_epoch")
+        )
+        changes = reconcile_to_schema(
+            changes.drop(*(c for c in _EVENT_META if c in changes.columns)),
+            silver.schema(),
+        )
+        try:
+            stats = merge_into(
+                silver, changes, resolver=self._lww_resolver(),
+                summary={"epochs": [min(epochs), max(epochs)]},
+            )
+        finally:
+            events.unpersist()
+
+        by_epoch: dict[int, list[dict]] = {}
+        for s in part_stats:
+            by_epoch.setdefault(int(s["checkpoint_epoch"]), []).append(s)
+        for e, sts in sorted(by_epoch.items()):
+            self._write_manifests(e, sts, stats["snapshot_id"])
+        self._advance_checkpoint(max(epochs), stats["snapshot_id"])
+
+        wall = time.time() - t0
+        metrics = {
+            "epochs": epochs,
+            "events_read": n_events,
+            "partitions": len(part_stats),
+            "buckets_touched": stats["buckets_touched"],
+            "hot_convs": hot,
+            "snapshot_id": stats["snapshot_id"],
+            "wall_sec": wall,
+            "events_per_sec": n_events / wall if wall > 0 else None,
+            "skipped": False,
+        }
+        self._write_metrics(max(epochs), metrics)
+        return metrics
+
+    def replay(self, to_epoch: int | None = None, catchup: bool = True) -> list[dict]:
+        """Resume from the checkpoint and apply all landed epochs (≤ to_epoch).
+
+        With catchup=True (default) the whole backlog goes through one
+        apply_epochs merge; catchup=False applies epoch-at-a-time (the
+        incremental/tail mode)."""
         start = self.checkpoint()["last_epoch"] + 1
-        out = []
-        for e in self.bronze.epochs():
-            if e < start:
-                continue
-            if to_epoch is not None and e > to_epoch:
-                break
-            out.append(self.apply_epoch(e))
-        return out
+        pending = [
+            e for e in self.bronze.epochs()
+            if e >= start and (to_epoch is None or e <= to_epoch)
+        ]
+        if not pending:
+            return []
+        if catchup and len(pending) > 1:
+            return [self.apply_epochs(pending)]
+        return [self.apply_epoch(e) for e in pending]
 
     # -- serving views -------------------------------------------------------------
 

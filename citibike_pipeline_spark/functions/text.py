@@ -15,13 +15,18 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
 
-# Whitespace + BPE-ish token splitting: words, numbers, or single non-space
-# symbols — a deterministic stand-in for a real tokenizer.
-TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+# Whitespace + BPE-ish token splitting: unicode words, numbers, or single
+# non-space symbols — a deterministic stand-in for a real tokenizer.
+# (\p{L} is Java-regex unicode-letter — this constant is for JVM-side
+# regexp_extract_all, not Python re.)
+TOKEN_REGEX = r"\p{L}+|[0-9]+|[^\s\p{L}0-9]"
 
 
-@pandas_udf("string")
+# returnType passed as a DataType instance (not DDL string) so the decorator
+# works at import time without an active SparkSession.
+@pandas_udf(StringType())
 def normalize_text_udf(s: pd.Series) -> pd.Series:
     """NFC-normalize + strip — vectorized over Arrow batches.
 

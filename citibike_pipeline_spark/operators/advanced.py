@@ -1,0 +1,298 @@
+"""Advanced operator shapes: disjunctive-join rewrite, grouped applyInPandas,
+sessionization, iterative PageRank.
+
+These close out the last SURVEY.md §2 rows: the J7 IN-disjunction join
+(rewritten to unpivot + equi-join, avoiding a theta join), §2.11's grouped
+applyInPandas surface, session windows (the streaming-adjacent semantics the
+reference lacks but a transcript pipeline needs), and §2.8's graph metrics as
+DataFrame iteration (no driver-side NetworkX).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from .io import T
+
+
+# --------------------------------------------------------------------------
+# q25: metadata reconstruction — UNION DISTINCT ids + anti-join to find
+# missing + unpivot-and-equi-join to re-attach usage stats. The exact shape of
+# stg_reconstructed_station_metadata.sql:10-66, whose original J7 join is the
+# non-equi `m.station_id IN (t.start_station_id, t.end_station_id)`; we
+# rewrite it as unpivot -> equi join (SURVEY.md J7 note) so Catalyst gets a
+# hash join instead of a nested loop.
+# --------------------------------------------------------------------------
+
+def q25_reconstructed_ids(spark: SparkSession, sf: str) -> DataFrame:
+    li, part = T(spark, sf, "lineitem"), T(spark, sf, "part")
+    ids = (
+        li.select(F.col("l_partkey").alias("id"))
+        .union(li.select(F.col("l_suppkey").alias("id")))
+        .distinct()
+    )
+    # dim restricted to a subset (p_size > 10) so reconstruction has work to
+    # do — mirrors the reference, where many trip station ids are absent from
+    # the stations dim (stg_reconstructed_station_metadata.sql:26-32)
+    known = part.filter(F.col("p_size") > 10)
+    missing = ids.join(known, ids.id == known.p_partkey, "left_anti")
+    # unpivot the two id roles to rows -> equi join replaces IN-disjunction
+    unpivoted = li.select(
+        F.expr(
+            "stack(2, 'part', l_partkey, 'supp', l_suppkey) AS (id_role, id)"
+        ),
+        "l_quantity",
+    )
+    return (
+        missing.join(unpivoted, "id")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("total_qty"),
+            F.sum(F.when(F.col("id_role") == "part", 1).otherwise(0)).alias("n_as_part"),
+            F.sum(F.when(F.col("id_role") == "supp", 1).otherwise(0)).alias("n_as_supp"),
+        )
+    )
+
+
+Q25_SQL = """
+WITH ids AS (
+  SELECT l_partkey AS id FROM lineitem UNION SELECT l_suppkey FROM lineitem
+),
+missing AS (
+  SELECT id FROM ids
+  WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = id AND p_size > 10)
+),
+unpivoted AS (
+  SELECT 'part' AS id_role, l_partkey AS id, l_quantity FROM lineitem
+  UNION ALL
+  SELECT 'supp', l_suppkey, l_quantity FROM lineitem
+)
+SELECT m.id AS id, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty,
+       CAST(SUM(CASE WHEN id_role = 'part' THEN 1 ELSE 0 END) AS BIGINT) AS n_as_part,
+       CAST(SUM(CASE WHEN id_role = 'supp' THEN 1 ELSE 0 END) AS BIGINT) AS n_as_supp
+FROM missing m JOIN unpivoted u ON u.id = m.id
+GROUP BY m.id
+"""
+
+
+# --------------------------------------------------------------------------
+# q26: grouped applyInPandas — per-group ordered reconstruction (§2.11).
+# Per user: ordered event walk computing max inter-event gap and count of
+# value regressions. Arrow-batched per group; the oracle does it with lag
+# windows (same semantics, different engine idiom).
+# --------------------------------------------------------------------------
+
+_SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("n_events", IntegerType(), False),
+        StructField("max_gap_sec", LongType(), True),
+        StructField("n_value_drops", IntegerType(), False),
+        StructField("total_value", DoubleType(), True),
+    ]
+)
+
+
+def q26_grouped_apply_stats(spark: SparkSession, sf: str) -> DataFrame:
+    ev = T(spark, sf, "events")
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        gaps = pdf["ts"].diff().dt.total_seconds()
+        drops = (pdf["value"].diff() < 0).sum()
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "max_gap_sec": [None if len(pdf) < 2 else int(gaps.max() // 1)],
+                "n_value_drops": [int(drops)],
+                "total_value": [round(float(pdf["value"].astype("float64").map(
+                    lambda v: round(v, 2)).sum()), 2)],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(walk, schema=_SESSION_SCHEMA)
+
+
+Q26_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         lag(ts)    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS INT) AS n_events,
+       CAST(FLOOR(MAX(epoch(ts) - epoch(prev_ts))) AS BIGINT) AS max_gap_sec,
+       CAST(SUM(CASE WHEN value < prev_v THEN 1 ELSE 0 END) AS INT) AS n_value_drops,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+FROM ordered GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q27: sessionization — 30-minute-gap session ids via window cumsum; the
+# batch expression of session windows (streaming §2.10 analog)
+# --------------------------------------------------------------------------
+
+def q27_sessionization(spark: SparkSession, sf: str) -> DataFrame:
+    ev = T(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = F.expr("timestampdiff(SECOND, _prev_ts, ts)")
+    with_gap = (
+        ev.withColumn("_prev_ts", prev)
+        .withColumn(
+            "is_new_session",
+            F.when(F.col("_prev_ts").isNull() | (gap > 1800), 1).otherwise(0),
+        )
+        .drop("_prev_ts")
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = with_gap.withColumn("session_id", F.sum("is_new_session").over(wcum))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+Q27_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR FLOOR(epoch(ts) - epoch(lag(ts) OVER w)) > 1800 THEN 1 ELSE 0 END AS is_new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM s GROUP BY user_id, session_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q28: PageRank as DataFrame iteration (§2.8 N2) — no driver-side graph lib.
+# Graph: supplier -> part edges from lineitem, weighted by line count.
+# Fixed 3 iterations, damping 0.85, deterministic. Oracle: the same 3
+# iterations unrolled as chained CTEs.
+# --------------------------------------------------------------------------
+
+_PR_ITers = 3
+_DAMP = 0.85
+
+
+def q28_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem")
+    edges = (
+        li.groupBy(
+            F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+        ).agg(F.count(F.lit(1)).alias("w"))
+    )
+    # out-weight per src, edge transition probability
+    out = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
+    trans = edges.join(out, "src").select(
+        "src", "dst", (F.col("w").cast("double") / F.col("w_out")).alias("p")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # small driver scalar (node count, not data)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(_PR_ITers):
+        contribs = (
+            trans.join(ranks, trans.src == ranks.node)
+            .select("dst", (F.col("p") * F.col("rank")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit((1 - _DAMP) / n_nodes)
+                    + F.lit(_DAMP) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", F.round("rank", 9).alias("rank")).orderBy(
+        F.desc("rank"), "node"
+    ).limit(20)
+
+
+Q28_SQL = f"""
+WITH edges AS (
+  SELECT l_suppkey AS src, l_partkey AS dst, COUNT(*) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+outw AS (SELECT src, SUM(w) AS w_out FROM edges GROUP BY src),
+trans AS (
+  SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / o.w_out AS p
+  FROM edges e JOIN outw o ON e.src = o.src
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),
+r1 AS (
+  SELECT n.node,
+         (1 - {_DAMP}) / nn.n + {_DAMP} * COALESCE(SUM(t.p * r.rank), 0.0) AS rank
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN trans t ON t.dst = n.node LEFT JOIN r0 r ON r.node = t.src
+  GROUP BY n.node, nn.n
+),
+r2 AS (
+  SELECT n.node,
+         (1 - {_DAMP}) / nn.n + {_DAMP} * COALESCE(SUM(t.p * r.rank), 0.0) AS rank
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN trans t ON t.dst = n.node LEFT JOIN r1 r ON r.node = t.src
+  GROUP BY n.node, nn.n
+),
+r3 AS (
+  SELECT n.node,
+         (1 - {_DAMP}) / nn.n + {_DAMP} * COALESCE(SUM(t.p * r.rank), 0.0) AS rank
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN trans t ON t.dst = n.node LEFT JOIN r0x r ON r.node = t.src
+  GROUP BY n.node, nn.n
+)
+SELECT node, ROUND(rank, 9) AS rank FROM r3 ORDER BY rank DESC, node LIMIT 20
+"""
+
+# fix the r3 reference (built above programmatically to mirror iterations)
+Q28_SQL = Q28_SQL.replace("LEFT JOIN r0x r", "LEFT JOIN r2 r")
+
+
+ADVANCED = {
+    "q25_reconstructed_ids": (q25_reconstructed_ids, Q25_SQL),
+    "q26_grouped_apply_stats": (q26_grouped_apply_stats, Q26_SQL),
+    "q27_sessionization": (q27_sessionization, Q27_SQL),
+    "q28_pagerank": (q28_pagerank, Q28_SQL),
+}

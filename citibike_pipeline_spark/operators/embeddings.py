@@ -1,0 +1,253 @@
+"""Similarity search over the `embeddings` table (array<float>, 64-dim).
+
+ANN surface for the training-data pipeline:
+- brute-force cosine top-k (the exactness baseline)
+- LSH-bucketed variant (random-hyperplane signs -> bucket, candidates only
+  within bucket) — the 100 TB scale path: the cross product is bounded per
+  bucket, and the bucket shuffle is a single hash exchange
+- per-label centroids (the IVF training step: one groupBy over exploded dims)
+
+Dot products/norms use sequential left-fold aggregation over the array
+(F.aggregate), computed in double — the DuckDB oracles evaluate the identical
+index-ordered formula, so results hash-match without engine-internal SIMD
+nondeterminism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .io import T
+
+DIMS = 64
+N_QUERY = 3     # vec_id < N_QUERY serve as query vectors
+TOP_K = 5
+N_PLANES = 8    # LSH hyperplanes
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+# --------------------------------------------------------------------------
+# e01: brute-force cosine top-k — broadcast the tiny query set against the
+# full corpus; rank per query with a window (deterministic tiebreak vec_id)
+# --------------------------------------------------------------------------
+
+def e01_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = T(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    cand = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine(F.col("qe"), F.col("embedding")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+_SQL_DOT = (
+    "list_sum(list_transform(generate_series(1, {d}), "
+    "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+).format(d=DIMS)
+_SQL_NORM_Q = (
+    "sqrt(list_sum(list_transform(generate_series(1, {d}), "
+    "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))"
+).format(d=DIMS)
+_SQL_NORM_C = (
+    "sqrt(list_sum(list_transform(generate_series(1, {d}), "
+    "i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))"
+).format(d=DIMS)
+
+E01_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_SQL_DOT} / ({_SQL_NORM_Q} * {_SQL_NORM_C}) AS sim
+  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERY}
+)
+SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# e02: LSH bucket assignment — sign bits against deterministic hyperplanes
+# h_p[i] = sin(p * 1000 + i). Reports bucket occupancy (the data layout an
+# ANN index would shuffle into at scale).
+# --------------------------------------------------------------------------
+
+def _plane_dot(p: int):
+    # fold over dims: sum_i emb[i] * sin(p*1000 + i)   (1-indexed element_at)
+    idx = F.sequence(F.lit(1), F.lit(DIMS))
+    return F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(F.col("embedding"), i).cast("double")
+        * F.sin(F.lit(float(p * 1000)) + i.cast("double")),
+    )
+
+
+def _bucket_expr():
+    return sum(
+        (F.when(_plane_dot(p) > 0, F.lit(2 ** p)).otherwise(F.lit(0)) for p in range(N_PLANES)),
+        start=F.lit(0),
+    )
+
+
+def e02_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    emb = T(spark, sf, "embeddings")
+    return (
+        emb.select("vec_id", _bucket_expr().alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+def _bucket_sql() -> str:
+    def plane(p):
+        return (
+            f"CASE WHEN list_sum(list_transform(generate_series(1, {DIMS}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * sin({p * 1000} + CAST(i AS DOUBLE)))) > 0 "
+            f"THEN {2 ** p} ELSE 0 END"
+        )
+
+    return " + ".join(plane(p) for p in range(N_PLANES))
+
+
+E02_SQL = f"""
+WITH b AS (SELECT vec_id, {_bucket_sql()} AS bucket FROM embeddings)
+SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
+FROM b GROUP BY bucket
+"""
+
+
+# --------------------------------------------------------------------------
+# e03: embedding-cosine near-duplicate pairs, LSH-bucketed — candidates only
+# within a bucket (bounded quadratic), then exact cosine filter. The engine's
+# embedding near-dup dedup path.
+# --------------------------------------------------------------------------
+
+def e03_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    emb = T(spark, sf, "embeddings")
+    # materialize bucket assignments once — both sides of the candidate join
+    # probe them (at scale this is the persisted ANN index table)
+    b = emb.select("vec_id", "embedding", _bucket_expr().alias("bucket")).persist()
+    a, c = b.alias("a"), b.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("c.vec_id").alias("vec_b"),
+            _cosine(F.col("a.embedding"), F.col("c.embedding")).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.9)
+        .select("vec_a", "vec_b", F.round("sim", 6).alias("sim"))
+    )
+
+
+_SQL_DOT_AC = (
+    "list_sum(list_transform(generate_series(1, {d}), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+).format(d=DIMS)
+_SQL_NORM_A = (
+    "sqrt(list_sum(list_transform(generate_series(1, {d}), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))"
+).format(d=DIMS)
+_SQL_NORM_C2 = (
+    "sqrt(list_sum(list_transform(generate_series(1, {d}), "
+    "i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))"
+).format(d=DIMS)
+
+E03_SQL = f"""
+WITH b AS (SELECT vec_id, embedding, {_bucket_sql()} AS bucket FROM embeddings)
+SELECT vec_a, vec_b, ROUND(sim, 6) AS sim FROM (
+  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         {_SQL_DOT_AC} / ({_SQL_NORM_A} * {_SQL_NORM_C2}) AS sim
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+) WHERE sim >= 0.9
+"""
+
+
+# --------------------------------------------------------------------------
+# e04: per-label centroids (IVF training step) — posexplode + two-key groupBy;
+# exact decimal sums for cross-engine determinism, report first 4 dims + norm
+# --------------------------------------------------------------------------
+
+def e04_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    emb = T(spark, sf, "embeddings")
+    dims = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    cent = dims.groupBy("label", "dim").agg(
+        (F.sum(F.col("v").cast("decimal(28,12)")).cast("double") / F.count(F.lit(1))).alias("c")
+    )
+    return (
+        cent.groupBy("label")
+        .agg(
+            F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm"),
+            F.round(F.sum(F.when(F.col("dim") == 0, F.col("c"))), 6).alias("c0"),
+            F.round(F.sum(F.when(F.col("dim") == 1, F.col("c"))), 6).alias("c1"),
+            F.round(F.sum(F.when(F.col("dim") == 2, F.col("c"))), 6).alias("c2"),
+            F.round(F.sum(F.when(F.col("dim") == 3, F.col("c"))), 6).alias("c3"),
+        )
+    )
+
+
+E04_SQL = f"""
+WITH dims AS (
+  SELECT label, i - 1 AS dim, embedding[i] AS v
+  FROM embeddings, generate_series(1, {DIMS}) t(i)
+),
+cent AS (
+  SELECT label, dim,
+         CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+  FROM dims GROUP BY label, dim
+)
+SELECT label,
+       ROUND(sqrt(SUM(c * c)), 6) AS centroid_norm,
+       ROUND(SUM(CASE WHEN dim = 0 THEN c END), 6) AS c0,
+       ROUND(SUM(CASE WHEN dim = 1 THEN c END), 6) AS c1,
+       ROUND(SUM(CASE WHEN dim = 2 THEN c END), 6) AS c2,
+       ROUND(SUM(CASE WHEN dim = 3 THEN c END), 6) AS c3
+FROM cent GROUP BY label
+"""
+
+
+EMBEDDINGS = {
+    "e01_cosine_topk": (e01_cosine_topk, E01_SQL),
+    "e02_lsh_buckets": (e02_lsh_buckets, E02_SQL),
+    "e03_neardup_pairs": (e03_neardup_pairs, E03_SQL),
+    "e04_label_centroids": (e04_label_centroids, E04_SQL),
+}

@@ -1,0 +1,100 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video decode libraries are not in this container, so the decode
+kernel is STUBBED with a deterministic fake (hash-derived dimensions); the
+Spark-side plumbing — binary column handling, Arrow batch shape, mapInPandas
+signature, output schema, partition behavior — is real and tested. Swap
+`_fake_decode` for PIL/librosa/ffmpeg in a real deployment; nothing else
+changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .io import T
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("content_sha1", StringType(), True),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for a media decoder. Real impl:
+    PIL.Image.open(io.BytesIO(payload)).size etc. — NotImplemented here."""
+    h = hashlib.sha1(payload).digest()
+    return (64 + h[0] % 192, 64 + h[1] % 192, 1 + h[2] % 32)
+
+
+def decode_media_metadata(df: DataFrame) -> DataFrame:
+    """mapInPandas over binary payloads -> typed metadata rows.
+
+    Arrow-batched: each pandas batch holds many binary payloads; the kernel
+    is vectorized per batch (no per-row Python at the Spark API layer).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = b["payload"]
+            dims = payloads.map(_fake_decode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "media_type": b["media_type"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "width": dims.map(lambda d: d[0]).astype("int32"),
+                    "height": dims.map(lambda d: d[1]).astype("int32"),
+                    "n_frames": dims.map(lambda d: d[2]).astype("int32"),
+                    "content_sha1": payloads.map(
+                        lambda p: hashlib.sha1(p).hexdigest()
+                    ),
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=MEDIA_META_SCHEMA)
+
+
+def m01_media_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """Treat document text bytes as an opaque media payload (the container
+    has no real media files); exercises the full binary->metadata path."""
+    docs = T(spark, sf, "documents")
+    media = docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").cast(BinaryType()).alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+    )
+    return decode_media_metadata(media)
+
+
+# sha1 exists in DuckDB? Use the SQL-checkable subset (n_bytes, media_type);
+# fake dims are engine-side only -> this entry runs as rows-only unless the
+# oracle below is used for the checkable columns.
+M01_SQL = None
+
+MULTIMODAL = {
+    "m01_media_metadata": (m01_media_metadata, M01_SQL),
+}

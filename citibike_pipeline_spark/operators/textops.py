@@ -1,0 +1,385 @@
+"""Training-data text operators over the `documents` table.
+
+The large-scale training-pipeline surface: exact + near dedup (MinHash-LSH,
+SimHash, n-gram Jaccard, fingerprinting), language-ID, quality scoring,
+token statistics. Everything is expressed with built-in collection functions
+(transform/filter/aggregate over arrays) — JVM-side, shuffle-efficient — and
+each query has a DuckDB oracle computing the identical deterministic
+algorithm, so the correctness gate covers these like any relational operator.
+
+Hash-parity note: cross-engine comparable hashes use md5 hex strings
+(identical in Spark and DuckDB); engine-internal hashes (LSH bucketing at
+scale) would use xxhash64 instead — same structure, cheaper.
+
+Scale notes: the shingle-explode joins below are the textbook LSH layout —
+explode to (band_key, doc) rows, shuffle on band_key, pair within buckets.
+At 100 TB the same plan holds because bucket sizes are bounded by band width,
+not corpus size; the quadratic step only happens within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io import T
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+LANGS = ["en", "fr", "es", "de", "zh"]
+MINHASH_K = 8  # one-hash bands: pairs sharing >=2 signature slots
+
+
+def _words(col="text"):
+    return F.split(F.col(col), " ")
+
+
+def _word_bigrams(col="text"):
+    """Word 2-gram shingles via index transform (1-indexed element_at)."""
+    w = _words(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1))
+    )
+
+
+# --------------------------------------------------------------------------
+# d01: exact dedup — hash-groupBy (the content-hash analog of A6 dup flags)
+# --------------------------------------------------------------------------
+
+def d01_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_exact_dups"),
+    )
+
+
+D01_SQL = """
+SELECT source, COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(text)) AS n_unique_texts,
+       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dups
+FROM documents GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# d02: token statistics + quality score (length/stopword features)
+# --------------------------------------------------------------------------
+
+def d02_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    w = _words()
+    n_tokens = F.size(w)
+    n_stop = F.size(F.filter(w, lambda t: t.isin(*STOPWORDS)))
+    stop_ratio = F.round(n_stop.cast("double") / n_tokens, 6)
+    quality = F.round(
+        F.least(n_tokens.cast("double") / 80.0, F.lit(1.0)) * 0.5
+        + (F.lit(1.0) - n_stop.cast("double") / n_tokens) * 0.5,
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_unique_tokens"),
+        n_stop.alias("n_stopwords"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+D02_SQL = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+       len(list_filter(string_split(text, ' '),
+           t -> t IN ('the','a','of','and','to','in','is','on','for','with'))) AS n_stopwords,
+       ROUND(CAST(len(list_filter(string_split(text, ' '),
+           t -> t IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+           / len(string_split(text, ' ')), 6) AS stopword_ratio,
+       ROUND(LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 80.0, 1.0) * 0.5
+             + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+                 / len(string_split(text, ' '))) * 0.5, 6) AS quality_score
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# d03: language-ID — deterministic n-gram/stopword-scoring heuristic.
+# Scores each candidate language by hashed token affinity and reports
+# agreement with the labeled lang column per (label, prediction) cell.
+# --------------------------------------------------------------------------
+
+def d03_langid(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    w = _words()
+    # score(lang) = # tokens whose md5 starts with a lang-keyed nibble class;
+    # deterministic + identical in SQL. argmax with fixed tie order LANGS.
+    def lang_score(lang: str):
+        # one-arg lambda closing over `lang` (a two-arg lambda would make
+        # F.filter pass the element index as the second argument)
+        return F.size(
+            F.filter(
+                w, lambda t: F.substring(F.md5(F.concat(F.lit(lang), t)), 1, 1) < F.lit("4")
+            )
+        )
+
+    scores = [lang_score(l).alias(f"score_{l}") for l in LANGS]
+    scored = docs.select("doc_id", "lang", *scores)
+    best = F.greatest(*[F.col(f"score_{l}") for l in LANGS])
+    pred = F.when(F.col(f"score_{LANGS[0]}") == best, LANGS[0])
+    for l in LANGS[1:]:
+        pred = pred.when(F.col(f"score_{l}") == best, l)
+    return (
+        scored.select("doc_id", "lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _langid_sql() -> str:
+    score = (
+        "len(list_filter(string_split(text,' '), t -> md5('{l}' || t)[1:1] < '4'))"
+    )
+    scores = ", ".join(score.format(l=l) + f" AS score_{l}" for l in LANGS)
+    best = "GREATEST(" + ", ".join(f"score_{l}" for l in LANGS) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{l} = {best} THEN '{l}'" for l in LANGS
+    ) + " END"
+    return f"""
+WITH scored AS (SELECT doc_id, lang, {scores} FROM documents)
+SELECT lang, {case} AS pred_lang, COUNT(*) AS n
+FROM scored GROUP BY 1, 2
+"""
+
+
+D03_SQL = _langid_sql()
+
+
+# --------------------------------------------------------------------------
+# d04: document fingerprint — min-hash of character 8-gram shingles
+# (winnowing-style); fingerprint collisions = near-dup candidates
+# --------------------------------------------------------------------------
+
+def d04_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    c = F.col("text")
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - 7, F.lit(1)))
+    shingles = F.transform(idx, lambda i: F.substring(c, i, 8))
+    fp = F.array_min(F.transform(shingles, lambda g: F.md5(g)))
+    fps = docs.select("doc_id", fp.alias("fingerprint"))
+    return fps.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id")
+    ).filter(F.col("n_docs") >= 1)
+
+
+D04_SQL = """
+WITH fps AS (
+  SELECT doc_id,
+         list_min(list_transform(generate_series(1, GREATEST(length(text) - 7, 1)),
+                  i -> md5(text[i:i+7]))) AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+FROM fps GROUP BY fingerprint HAVING COUNT(*) >= 1
+"""
+
+
+# --------------------------------------------------------------------------
+# d05: MinHash + LSH near-dup candidate pairs
+# signature slot s = min over word-2gram shingles of md5(s || '|' || shingle);
+# candidates = doc pairs sharing >= 2 of MINHASH_K slots.
+# --------------------------------------------------------------------------
+
+def d05_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    # stage 1: shingle once into a column (the 8 signature mins all reference
+    # it instead of re-deriving the split+transform per hash)
+    shingled = docs.select("doc_id", _word_bigrams().alias("sh"))
+
+    def minhash(seed: int):
+        # one-arg lambda via closure (two-arg would bind the element index)
+        prefix = f"{seed}|"
+        return F.array_min(
+            F.transform(F.col("sh"), lambda g: F.md5(F.concat(F.lit(prefix), g)))
+        )
+
+    sig_cols = [minhash(s).alias(f"mh{s}") for s in range(MINHASH_K)]
+    # materialize the signature table: the LSH self-join probes it twice and
+    # at scale you persist signatures anyway (they're the dedup index)
+    sigs = shingled.select("doc_id", *sig_cols).persist()
+    # explode to (band, value, doc) and pair within buckets — the LSH shuffle
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(s).alias("band"), F.col(f"mh{s}").alias("val"))
+                for s in range(MINHASH_K)
+            ])
+        ).alias("b"),
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .filter(F.col("n_shared_bands") >= 2)
+    )
+    return pairs
+
+
+def _minhash_sql() -> str:
+    shingles = (
+        "list_transform(generate_series(1, GREATEST(len(string_split(text,' '))-1,1)), "
+        "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])"
+    )
+    sig = ", ".join(
+        f"list_min(list_transform({shingles}, g -> md5('{s}|' || g))) AS mh{s}"
+        for s in range(MINHASH_K)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {s} AS band, mh{s} AS val FROM sigs" for s in range(MINHASH_K)
+    )
+    return f"""
+WITH sigs AS (SELECT doc_id, {sig} FROM documents),
+bands AS ({unions})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
+D05_SQL = _minhash_sql()
+
+
+# --------------------------------------------------------------------------
+# d06: SimHash (8-bit) near-dup buckets — per-bit majority vote over token
+# hashes; expressed as one aggregate per bit (all JVM-side)
+# --------------------------------------------------------------------------
+
+def d06_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    w = _words()
+    # bit j of a token = high bit of hex nibble j+1 of md5(token)
+    def bit_sum(j: int):
+        return F.aggregate(
+            w,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(
+                F.substring(F.md5(t), j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+                1,
+            ).otherwise(-1),
+        )
+
+    simhash = sum(
+        (F.when(bit_sum(j) > 0, F.lit(2 ** j)).otherwise(F.lit(0)) for j in range(8)),
+        start=F.lit(0),
+    )
+    hashed = docs.select("doc_id", simhash.alias("simhash"))
+    return hashed.groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id")
+    )
+
+
+def _simhash_sql() -> str:
+    def bit(j):
+        return (
+            "CASE WHEN list_sum(list_transform(string_split(text,' '), "
+            f"t -> CASE WHEN md5(t)[{j + 1}:{j + 1}] IN ('8','9','a','b','c','d','e','f') "
+            f"THEN 1 ELSE -1 END)) > 0 THEN {2 ** j} ELSE 0 END"
+        )
+
+    expr = " + ".join(bit(j) for j in range(8))
+    return f"""
+WITH hashed AS (SELECT doc_id, {expr} AS simhash FROM documents)
+SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+FROM hashed GROUP BY simhash
+"""
+
+
+D06_SQL = _simhash_sql()
+
+
+# --------------------------------------------------------------------------
+# d07: n-gram Jaccard similarity pairs within source (bounded pair space) —
+# explode distinct shingles, equi-join on shingle, |A∩B| / (|A|+|B|-|A∩B|)
+# --------------------------------------------------------------------------
+
+def d07_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    sh = docs.select(
+        "doc_id", "source", F.explode(F.array_distinct(_word_bigrams())).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+D07_SQL = """
+WITH sh AS (
+  SELECT doc_id, source,
+         UNNEST(list_distinct(list_transform(
+           generate_series(1, GREATEST(len(string_split(text,' '))-1,1)),
+           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))) AS shingle
+  FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b
+    ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+"""
+
+
+TEXTOPS = {
+    "d01_exact_dedup": (d01_exact_dedup, D01_SQL),
+    "d02_token_stats": (d02_token_stats, D02_SQL),
+    "d03_langid": (d03_langid, D03_SQL),
+    "d04_fingerprint": (d04_fingerprint, D04_SQL),
+    "d05_minhash_lsh_pairs": (d05_minhash_lsh_pairs, D05_SQL),
+    "d06_simhash": (d06_simhash, D06_SQL),
+    "d07_jaccard_pairs": (d07_jaccard_pairs, D07_SQL),
+}

@@ -1,0 +1,96 @@
+"""Structured Streaming WAL tail: readStream over bronze -> foreachBatch merge.
+
+The reference is batch-only (SURVEY.md §2.10) — its "stream" is monthly
+batches keyed `_batch_key`. The engine's primary path is likewise epoch
+micro-batches over a monotone LSN column (cdc.engine). This module is the
+optional always-on variant: Spark's file stream source discovers newly-landed
+bronze epoch files; each micro-batch is LWW-deduped and merged through the
+SAME resolver as the batch path, so arrival slicing is irrelevant to final
+state (no watermark needed — LWW over total (lsn, op_rank) order subsumes
+late-data handling).
+
+Exactly-once: foreachBatch + the documented pattern — the streaming
+checkpoint guarantees each batch_id is delivered at-least-once with stable
+contents; merges are idempotent under the LWW resolver, and a batch-id
+manifest short-circuits clean re-deliveries. Kill the query at any point and
+restart: the checkpoint resumes from the last unprocessed file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..cdc.dedup import lww_dedup
+from ..cdc.engine import CdcEngine, _EVENT_META, _atomic_write_json
+from ..cdc.reconcile import reconcile_to_schema
+from ..lake import merge_into
+
+
+class StreamingTail:
+    def __init__(self, engine: CdcEngine, max_files_per_trigger: int = 8):
+        self.engine = engine
+        self.max_files = max_files_per_trigger
+        self._ckpt = os.path.join(engine.warehouse, "_meta", "stream_checkpoint")
+        self._batch_dir = os.path.join(engine.warehouse, "_meta", "stream_batches")
+        os.makedirs(self._batch_dir, exist_ok=True)
+
+    def _batch_done(self, batch_id: int) -> bool:
+        return os.path.exists(os.path.join(self._batch_dir, f"b{batch_id:09d}.json"))
+
+    def _mark_batch(self, batch_id: int, stats: dict) -> None:
+        _atomic_write_json(
+            os.path.join(self._batch_dir, f"b{batch_id:09d}.json"),
+            {"batch_id": batch_id, **stats},
+        )
+
+    def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self._batch_done(batch_id):
+            return
+        silver = self.engine.silver
+        # schema evolution mid-stream: new payload columns -> silver ADD COLUMN
+        from pyspark.sql.types import StructField
+
+        have = {f.name for f in silver.schema().fields}
+        new_payload = [
+            f
+            for f in batch_df.schema.fields
+            if f.name not in _EVENT_META and f.name not in have
+        ]
+        if new_payload:
+            silver.add_columns(
+                [StructField(f.name, f.dataType, True) for f in new_payload]
+            )
+            silver = self.engine.silver
+        changes = lww_dedup(batch_df).withColumn(
+            "ingest_epoch", F.col("checkpoint_epoch")
+        )
+        changes = reconcile_to_schema(
+            changes.drop(*(c for c in _EVENT_META if c in changes.columns)),
+            silver.schema(),
+        )
+        stats = merge_into(silver, changes, resolver=self.engine._lww_resolver())
+        self._mark_batch(batch_id, stats)
+
+    def run_available(self) -> None:
+        """Process everything currently landed, then stop (Trigger.AvailableNow)
+        — the test/cron mode; omit availableNow for an always-on tail."""
+        spark = self.engine.spark
+        bronze = self.engine.bronze
+        stream = (
+            spark.readStream.schema(bronze.schema())
+            .option("maxFilesPerTrigger", self.max_files)
+            .option("recursiveFileLookup", "true")
+            .parquet(bronze.path)
+        )
+        q = (
+            stream.writeStream.foreachBatch(self._apply_batch)
+            .option("checkpointLocation", self._ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

@@ -1,0 +1,148 @@
+"""Exactly-once / resume / order-independence tests (FIXTURES.md F4, SURVEY §5.3)."""
+
+import pandas as pd
+import pytest
+
+from citibike_pipeline_spark.cdc import CdcEngine
+from citibike_pipeline_spark.cdc.generator import GenConfig, generate_corpus_pandas, generate_epoch
+from citibike_pipeline_spark.cdc.oracle import expected_silver
+from citibike_pipeline_spark.cdc.schemas import TURN_COLUMNS
+
+CFG = GenConfig(
+    n_convs=40, n_epochs=4, events_per_epoch=1500, seed=7, evolution_epoch=2,
+    n_hot=1, turns_hot=200, turns_normal=30,
+)
+COLS = TURN_COLUMNS + ["lsn"]
+
+
+def silver_pdf(eng) -> pd.DataFrame:
+    out = (
+        eng.silver_view().toPandas()
+        .sort_values(["conv_id", "turn_idx", "lsn"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    out["ts"] = out["ts"].astype("datetime64[us]")
+    return out[COLS]
+
+
+def oracle_pdf() -> pd.DataFrame:
+    want = expected_silver(generate_corpus_pandas(CFG))
+    want["ts"] = want["ts"].astype("datetime64[us]")
+    return want[COLS].reset_index(drop=True)
+
+
+def new_engine(spark, tmp_path, name) -> CdcEngine:
+    eng = CdcEngine(spark, str(tmp_path / name), n_buckets=4, write_salt=2)
+    eng.init_tables()
+    for e in range(CFG.n_epochs):
+        eng.ingest_epoch_pandas(generate_epoch(CFG, e), e)
+    return eng
+
+
+def test_kill_and_resume_from_checkpoint(spark, tmp_path):
+    eng = new_engine(spark, tmp_path, "wh_resume")
+    # apply only half the epochs, then "crash" (drop the object)
+    eng.replay(to_epoch=1)
+    assert eng.checkpoint()["last_epoch"] == 1
+    # a brand-new engine instance over the same warehouse resumes
+    eng2 = CdcEngine(spark, eng.warehouse, n_buckets=4, write_salt=2)
+    metrics = eng2.replay(catchup=False)
+    assert [m["epoch"] for m in metrics] == [2, 3]
+    pd.testing.assert_frame_equal(silver_pdf(eng2), oracle_pdf(), check_dtype=False)
+
+
+def test_catchup_replay_single_merge_parity(spark, tmp_path):
+    """The whole backlog through ONE apply_epochs merge equals the oracle and
+    the epoch-at-a-time result."""
+    eng = new_engine(spark, tmp_path, "wh_catchup")
+    metrics = eng.replay(catchup=True)
+    assert len(metrics) == 1 and metrics[0]["epochs"] == list(range(CFG.n_epochs))
+    pd.testing.assert_frame_equal(silver_pdf(eng), oracle_pdf(), check_dtype=False)
+    # manifests still per (epoch, partition)
+    assert len({(r["checkpoint_epoch"], r["partition_id"]) for r in eng.lineage()}) \
+        == len(eng.lineage())
+    assert {r["checkpoint_epoch"] for r in eng.lineage()} == set(range(CFG.n_epochs))
+
+
+def test_catchup_after_partial_is_consistent(spark, tmp_path):
+    """Half the epochs applied individually, the rest via catch-up — same state."""
+    eng = new_engine(spark, tmp_path, "wh_mixed")
+    eng.apply_epoch(0)
+    eng.apply_epoch(1)
+    eng.replay(catchup=True)
+    pd.testing.assert_frame_equal(silver_pdf(eng), oracle_pdf(), check_dtype=False)
+
+
+def test_partial_epoch_manifest_skips_committed_partitions(spark, tmp_path):
+    eng = new_engine(spark, tmp_path, "wh_partial")
+    eng.replay(to_epoch=0)
+    # simulate a partially-committed epoch 1: manifests exist for partitions
+    # 0 and 1 but the merge "was lost" — events for those partitions must be
+    # skipped on retry, the rest applied
+    stats = [
+        {"partition_id": 0, "n_events": 0, "min_lsn": 0, "max_lsn": 0},
+        {"partition_id": 1, "n_events": 0, "min_lsn": 0, "max_lsn": 0},
+    ]
+    eng._write_manifests(1, stats, snapshot_id=-1)
+    m = eng.apply_epoch(1)
+    assert not m["skipped"]
+    ev1 = generate_epoch(CFG, 1)
+    expected_seen = len(ev1[~ev1["partition_id"].isin([0, 1])])
+    assert m["events_read"] == expected_seen
+
+
+def test_double_apply_same_epoch_is_noop(spark, tmp_path):
+    eng = new_engine(spark, tmp_path, "wh_noop")
+    eng.replay()
+    sid = eng.silver.current_snapshot().snapshot_id
+    m = eng.apply_epoch(2)  # re-apply mid-stream epoch
+    assert m["skipped"] is True
+    assert eng.silver.current_snapshot().snapshot_id == sid
+
+
+def test_stale_redelivery_cannot_clobber_newer_state(spark, tmp_path):
+    """Even with manifests wiped (forcing a raw re-merge), re-applying an OLD
+    epoch after newer ones leaves state unchanged — LWW end-to-end idempotence."""
+    eng = new_engine(spark, tmp_path, "wh_lww")
+    eng.replay()
+    before = silver_pdf(eng)
+    # wipe epoch-0 manifests to force a genuine re-merge of stale events
+    import os
+
+    for fn in os.listdir(eng._manifest_dir):
+        if fn.startswith("e000000_"):
+            os.remove(os.path.join(eng._manifest_dir, fn))
+    m = eng.apply_epoch(0)
+    assert m["events_read"] > 0 and not m["skipped"]
+    pd.testing.assert_frame_equal(silver_pdf(eng), before)
+
+
+def test_epoch_order_permutation_parity(spark, tmp_path):
+    """Applying epochs in a different order than they were generated still
+    converges to the oracle (order-independence across epochs)."""
+    eng = CdcEngine(spark, str(tmp_path / "wh_perm"), n_buckets=4, write_salt=2)
+    eng.init_tables()
+    for e in range(CFG.n_epochs):
+        eng.ingest_epoch_pandas(generate_epoch(CFG, e), e)
+    for e in [2, 0, 3, 1]:
+        eng.apply_epoch(e)
+    pd.testing.assert_frame_equal(silver_pdf(eng), oracle_pdf(), check_dtype=False)
+
+
+def test_compact_preserves_live_state(spark, tmp_path):
+    eng = new_engine(spark, tmp_path, "wh_compact")
+    eng.replay()
+    before = silver_pdf(eng)
+    eng.compact()
+    pd.testing.assert_frame_equal(silver_pdf(eng), before)
+    # tombstones gone from the physical table
+    assert eng.silver.read().filter("op = 'D'").count() == 0
+
+
+def test_lineage_df_queryable(spark, tmp_path):
+    eng = new_engine(spark, tmp_path, "wh_lineage")
+    eng.replay()
+    ldf = eng.lineage_df()
+    assert ldf.count() > 0
+    agg = ldf.groupBy("checkpoint_epoch").count().collect()
+    assert len(agg) == CFG.n_epochs

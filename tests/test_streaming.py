@@ -1,0 +1,57 @@
+"""Structured Streaming tail: availableNow replay reaches oracle parity and
+restarts idempotently from the stream checkpoint."""
+
+import pandas as pd
+import pytest
+
+from citibike_pipeline_spark.cdc import CdcEngine
+from citibike_pipeline_spark.cdc.generator import GenConfig, generate_corpus_pandas, generate_epoch
+from citibike_pipeline_spark.cdc.oracle import expected_silver
+from citibike_pipeline_spark.cdc.schemas import TURN_COLUMNS
+from citibike_pipeline_spark.streaming import StreamingTail
+
+CFG = GenConfig(
+    n_convs=30, n_epochs=3, events_per_epoch=1200, seed=11, evolution_epoch=1,
+    n_hot=1, turns_hot=150, turns_normal=25,
+)
+COLS = TURN_COLUMNS + ["lsn"]
+
+
+def silver_pdf(eng):
+    out = (
+        eng.silver_view().toPandas()
+        .sort_values(["conv_id", "turn_idx", "lsn"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    out["ts"] = out["ts"].astype("datetime64[us]")
+    return out[COLS]
+
+
+@pytest.fixture(scope="module")
+def streamed(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh_stream"))
+    eng = CdcEngine(spark, wh, n_buckets=4, write_salt=2)
+    eng.init_tables()
+    for e in range(CFG.n_epochs):
+        eng.ingest_epoch_pandas(generate_epoch(CFG, e), e)
+    tail = StreamingTail(eng, max_files_per_trigger=4)
+    tail.run_available()
+    return eng, tail
+
+
+def test_streaming_parity(streamed):
+    eng, _ = streamed
+    want = expected_silver(generate_corpus_pandas(CFG))
+    want["ts"] = want["ts"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(
+        silver_pdf(eng), want[COLS].reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_streaming_restart_is_noop(streamed):
+    eng, tail = streamed
+    before = silver_pdf(eng)
+    sid = eng.silver.current_snapshot().snapshot_id
+    tail.run_available()  # restart on the same checkpoint: nothing new
+    assert eng.silver.current_snapshot().snapshot_id == sid
+    pd.testing.assert_frame_equal(silver_pdf(eng), before)

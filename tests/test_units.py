@@ -1,0 +1,162 @@
+"""Unit tests: LWW dedup matrix, skew salting, schema reconciliation,
+scalar/text functions, gold plans vs pandas oracle."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from citibike_pipeline_spark.cdc.dedup import lww_dedup
+from citibike_pipeline_spark.cdc.generator import GenConfig, generate_epoch
+from citibike_pipeline_spark.cdc.reconcile import (
+    SchemaDriftError,
+    reconcile_batches,
+    reconcile_to_schema,
+    union_schema_versions,
+)
+from citibike_pipeline_spark.cdc.skew import detect_hot_keys, repartition_salted
+from citibike_pipeline_spark.functions.scalar import (
+    derive_season,
+    guarded_div,
+    haversine_km,
+    normalize_entity_id,
+)
+from citibike_pipeline_spark.functions.text import normalize_text_udf, token_count
+
+
+EV = "lsn long, op string, conv_id string, turn_idx int, text string"
+
+
+def test_lww_dedup_matrix(spark):
+    rows = [
+        # multiple updates: highest lsn wins
+        (1, "I", "c1", 0, "a"), (5, "U", "c1", 0, "b"), (3, "U", "c1", 0, "c"),
+        # delete-then-reinsert: final op by lsn wins
+        (1, "I", "c2", 0, "x"), (2, "D", "c2", 0, None), (9, "I", "c2", 0, "y"),
+        # LSN tie, distinct ops: op_rank U > I > D
+        (7, "D", "c3", 0, None), (7, "U", "c3", 0, "u-wins"), (7, "I", "c3", 0, "i"),
+        # lone delete survives as the winner (tombstone)
+        (4, "D", "c4", 0, None),
+    ]
+    out = lww_dedup(spark.createDataFrame(rows, EV)).collect()
+    winners = {r.conv_id: (r.lsn, r.op, r.text) for r in out}
+    assert winners["c1"] == (5, "U", "b")
+    assert winners["c2"] == (9, "I", "y")
+    assert winners["c3"] == (7, "U", "u-wins")
+    assert winners["c4"] == (4, "D", None)
+    assert len(out) == 4  # exactly one row per key
+
+
+def test_lww_order_independence(spark):
+    import random
+
+    rows = [(l, "U" if l % 3 else "I", "c", 0, f"t{l}") for l in range(1, 30)]
+    for seed in (1, 2):
+        random.Random(seed).shuffle(rows)
+        out = lww_dedup(spark.createDataFrame(rows, EV)).collect()
+        assert len(out) == 1 and out[0].lsn == 29
+
+
+def test_salting_preserves_results(spark):
+    cfg = GenConfig(n_convs=20, n_epochs=1, events_per_epoch=3000, n_hot=1)
+    pdf = generate_epoch(cfg, 0)
+    df = spark.createDataFrame(pdf)
+    hot = detect_hot_keys(df, threshold=300)
+    assert hot, "expected a hot conversation in the skewed corpus"
+    plain = lww_dedup(df).orderBy("conv_id", "turn_idx").collect()
+    salted = lww_dedup(
+        repartition_salted(df, 8, hot_keys=hot, salt_factor=4)
+    ).orderBy("conv_id", "turn_idx").collect()
+    assert plain == salted
+
+
+def test_reconcile_pads_and_rejects(spark):
+    target = StructType(
+        [
+            StructField("a", StringType(), True),
+            StructField("b", StringType(), True),
+        ]
+    )
+    df = spark.createDataFrame([("x",)], "a string")
+    out = reconcile_to_schema(df, target)
+    assert out.columns == ["a", "b"] and out.collect()[0].b is None
+    with pytest.raises(SchemaDriftError):
+        reconcile_to_schema(spark.createDataFrame([("x", "y")], "a string, zz string"), target)
+    missing_required = StructType([StructField("zz", StringType(), False)])
+    with pytest.raises(SchemaDriftError):
+        reconcile_to_schema(df, missing_required)
+
+
+def test_union_schema_versions(spark):
+    v1 = spark.createDataFrame([("c", 0)], "conv_id string, turn_idx int")
+    v2 = spark.createDataFrame([("d", 1, "search")], "conv_id string, turn_idx int, tool string")
+    u = union_schema_versions([v1, v2])
+    got = {(r.conv_id, r.tool) for r in u.collect()}
+    assert got == {("c", None), ("d", "search")}
+
+
+def test_reconcile_batches_arrow_level(spark):
+    target = StructType(
+        [
+            StructField("conv_id", StringType(), True),
+            StructField("tool", StringType(), True),
+        ]
+    )
+    df = spark.createDataFrame([("a",), ("b",)], "conv_id string")
+    out = reconcile_batches(df, target)
+    assert out.columns == ["conv_id", "tool"]
+    assert all(r.tool is None for r in out.collect())
+
+
+def test_scalar_functions(spark):
+    df = spark.createDataFrame(
+        [("72.0", "2025-01-15"), ("abc", "2025-07-01")], "id string, d string"
+    )
+    got = df.select(
+        normalize_entity_id("id").alias("nid"),
+        derive_season(F.to_date("d")).alias("season"),
+        F.round(haversine_km(F.lit(40.7128), F.lit(-74.006), F.lit(40.7128), F.lit(-73.9)), 2).alias("km"),
+        guarded_div(F.lit(1.0), F.lit(0.0)).alias("gd"),
+    ).collect()
+    assert got[0].nid == "72.00" and got[1].nid == "abc"
+    assert got[0].season == "winter" and got[1].season == "summer"
+    assert abs(got[0].km - 8.94) < 0.1  # ~8.9 km per 0.106 deg lng at 40.7N
+    assert got[0].gd is None
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame([("  héllo world 42!  ",)], "t string")
+    got = df.select(
+        normalize_text_udf("t").alias("norm"),
+        token_count("t").alias("n"),
+    ).collect()[0]
+    assert got.norm == "héllo world 42!"
+    assert got.n == 4  # hllo-ish word, world, 42, '!'
+
+
+def test_gold_plans_match_pandas_oracle(spark):
+    from citibike_pipeline_spark.cdc.oracle import expected_conv_stats
+    from citibike_pipeline_spark.plans import gold_conv_stats, gold_running_turns
+
+    silver_pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1", "c1", "c2"],
+            "turn_idx": [0, 1, 2, 0],
+            "role": ["user", "assistant", "user", "user"],
+            "text": ["a", "b", "c", "d"],
+            "tool": [None, "search", None, None],
+            "ts": pd.to_datetime(
+                ["2025-01-01 00:00", "2025-01-01 00:05", "2025-01-01 00:09", "2025-02-01 10:00"]
+            ),
+            "lsn": [1, 2, 3, 4],
+        }
+    )
+    silver = spark.createDataFrame(silver_pdf)
+    stats = {r.conv_id: r for r in gold_conv_stats(silver).collect()}
+    want = expected_conv_stats(silver_pdf).set_index("conv_id")
+    for cid in ("c1", "c2"):
+        assert stats[cid].n_turns == want.loc[cid, "n_turns"]
+        assert stats[cid].n_tool_turns == want.loc[cid, "n_tool_turns"]
+        assert stats[cid].duration_sec == want.loc[cid, "duration_sec"]
+    run = {(r.conv_id, r.turn_idx): r.cum_turns for r in gold_running_turns(silver).collect()}
+    assert run[("c1", 0)] == 1 and run[("c1", 2)] == 3 and run[("c2", 0)] == 1
