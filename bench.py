@@ -52,7 +52,8 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     queries: dict[str, float] = {}
-    for name in HEADLINE:
+    headline = [] if os.environ.get("BENCH_SKIP_QUERIES") == "1" else HEADLINE
+    for name in headline:
         fn = REGISTRY[name].fn
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -205,6 +205,25 @@ class CdcEngine:
 
         return resolve
 
+    def _should_prune(self, n_events: int) -> bool:
+        """Bucket pruning pays when the change-set plausibly misses buckets;
+        a large batch statistically covers all of them, and skipping the
+        touched-collect saves one full dedup execution of serial driver time."""
+        return n_events < self.n_buckets * 20_000
+
+    def _detect_hot_sampled(self, events: DataFrame, n_events: int) -> list[str]:
+        """Hot-conversation detection on a sample: at 10^7+ events an exact
+        count costs a full pass; a deterministic-seed sample bounds the scan
+        at ~2M rows and a >threshold key is detected with near-certainty."""
+        cap = 2_000_000
+        if n_events <= cap:
+            return detect_hot_keys(events, threshold=self.hot_key_threshold)
+        frac = cap / n_events
+        return detect_hot_keys(
+            events.sample(fraction=frac, seed=7),
+            threshold=max(int(self.hot_key_threshold * frac), 10),
+        )
+
     def apply_epoch(self, epoch: int) -> dict:
         """Apply one epoch's change events to silver. Returns metrics dict."""
         t0 = time.time()
@@ -256,7 +275,7 @@ class CdcEngine:
             silver = self.silver  # reload snapshot
 
         # observability: hot conversations in this epoch (drives salt sizing)
-        hot = detect_hot_keys(events, threshold=self.hot_key_threshold)
+        hot = self._detect_hot_sampled(events, n_events)
 
         # LWW dedup to ≤1 row/key, then project to silver schema
         changes = lww_dedup(events).withColumn(
@@ -273,6 +292,7 @@ class CdcEngine:
                 changes,
                 resolver=self._lww_resolver(),
                 summary={"epoch": epoch},
+                prune_buckets=self._should_prune(n_events),
             )
         finally:
             events.unpersist()
@@ -309,6 +329,7 @@ class CdcEngine:
         still recorded individually.
         """
         t0 = time.time()
+        phases: dict[str, float] = {}
         silver = self.silver
         events = self.bronze.read_epochs(min(epochs), max(epochs) + 1)
 
@@ -322,6 +343,7 @@ class CdcEngine:
                 )
         events = events.persist()
 
+        _t = time.time()
         part_stats = [
             r.asDict()
             for r in events.groupBy("checkpoint_epoch", "partition_id")
@@ -332,6 +354,7 @@ class CdcEngine:
             )
             .collect()
         ]
+        phases["scan_stats"] = round(time.time() - _t, 2)
         n_events = int(sum(s["n_events"] for s in part_stats))
         if n_events == 0:
             events.unpersist()
@@ -349,7 +372,9 @@ class CdcEngine:
             silver.add_columns([StructField(f.name, f.dataType, True) for f in new_payload])
             silver = self.silver
 
-        hot = detect_hot_keys(events, threshold=self.hot_key_threshold)
+        _t = time.time()
+        hot = self._detect_hot_sampled(events, n_events)
+        phases["hot_detect"] = round(time.time() - _t, 2)
 
         changes = lww_dedup(events).withColumn(
             "ingest_epoch", F.col("checkpoint_epoch")
@@ -359,10 +384,13 @@ class CdcEngine:
             silver.schema(),
         )
         try:
+            _t = time.time()
             stats = merge_into(
                 silver, changes, resolver=self._lww_resolver(),
                 summary={"epochs": [min(epochs), max(epochs)]},
+                prune_buckets=self._should_prune(n_events),
             )
+            phases["merge"] = round(time.time() - _t, 2)
         finally:
             events.unpersist()
 
@@ -383,6 +411,7 @@ class CdcEngine:
             "snapshot_id": stats["snapshot_id"],
             "wall_sec": wall,
             "events_per_sec": n_events / wall if wall > 0 else None,
+            "phases": {**phases, **{k: v for k, v in stats.items() if k.startswith("sec_")}},
             "skipped": False,
         }
         self._write_metrics(max(epochs), metrics)

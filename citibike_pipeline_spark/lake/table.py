@@ -43,6 +43,20 @@ from pyspark.sql.types import StructType
 BUCKET_COL = "_bucket"
 
 
+def empty_df(spark: SparkSession, schema: StructType) -> DataFrame:
+    """JVM-native empty DataFrame with the given schema.
+
+    NEVER use ``spark.createDataFrame([], schema)`` on a hot path: PySpark
+    backs it with a pickled ``parallelize`` RDD, so every downstream task that
+    touches the branch spins up a Python worker — serialized on SparkEnv's
+    global createPythonWorker lock (measured: it alone flat-lined merge
+    scaling, executors 90% idle blocked on that monitor). ``range(0)`` +
+    typed-NULL casts stays entirely in Catalyst/codegen.
+    """
+    cols = [F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
+    return spark.range(0).select(*cols)
+
+
 def bucket_expr(key_cols: list[str], n_buckets: int):
     """Deterministic bucket id for a row: xxhash64(keys) pmod n_buckets.
 
@@ -193,7 +207,7 @@ class LakeTable:
             bset = set(buckets)
             files = [f for f in files if f["bucket"] in bset]
         if not files:
-            return self.spark.createDataFrame([], schema)
+            return empty_df(self.spark, schema)
         # Explicit snapshot schema: files predating an ADD COLUMN evolve by
         # padding typed NULLs at scan time (no rewrite).
         return self.spark.read.schema(schema).parquet(*[f["path"] for f in files])

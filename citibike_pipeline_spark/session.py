@@ -65,7 +65,11 @@ def get_spark(
         .config("spark.sql.timestampType", "TIMESTAMP_NTZ")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM heap IS the executor memory pool — all N
+        # task slots share it, so it must scale with parallelism or high-core
+        # runs spill in sorts/windows while low-core runs don't (which
+        # inverts scaling measurements). 32g over 32 slots ≈ 1g/task.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():

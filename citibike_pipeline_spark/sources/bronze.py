@@ -57,14 +57,18 @@ class BronzeLog:
             raise ValueError(f"bronze schema evolution cannot drop columns: {cur - new}")
         self._write_schema(new_schema)
 
-    def append_epoch(self, df: DataFrame, epoch: int) -> None:
-        """Land one epoch's events. Idempotent per (epoch, attempt dir): a
-        retried landing overwrites the epoch directory atomically enough for
-        the sandbox; real deployments land via the same snapshot-commit
-        pattern or Kafka offsets."""
+    def append_epoch(self, df: DataFrame, epoch: int, n_files: int | None = None) -> None:
+        """Land one epoch's events as multiple files. Idempotent per (epoch,
+        attempt dir): a retried landing overwrites the epoch directory; real
+        deployments land via the same snapshot-commit pattern or Kafka offsets.
+
+        Multiple files per epoch matter for replay parallelism: a single fat
+        file caps the epoch scan at one task regardless of cluster size
+        (a real WAL lands one file per source partition anyway)."""
         out = os.path.join(self.path, f"epoch={epoch}")
         cols = [f.name for f in self.schema().fields]
-        df.select(*cols).write.parquet(out, mode="overwrite")
+        n = n_files or self.spark.sparkContext.defaultParallelism
+        df.select(*cols).repartition(n).write.parquet(out, mode="overwrite")
 
     def append_epoch_pandas(self, pdf: pd.DataFrame, epoch: int) -> None:
         sdf = self.spark.createDataFrame(pdf, schema=self.schema())
@@ -74,7 +78,9 @@ class BronzeLog:
         """Directory-pruned scan of exactly one epoch."""
         out = os.path.join(self.path, f"epoch={epoch}")
         if not os.path.exists(out):
-            return self.spark.createDataFrame([], self.schema())
+            from ..lake.table import empty_df
+
+            return empty_df(self.spark, self.schema())
         return self.spark.read.schema(self.schema()).parquet(out)
 
     def read_epochs(self, lo: int, hi: int) -> DataFrame:
@@ -85,7 +91,9 @@ class BronzeLog:
             if os.path.exists(os.path.join(self.path, f"epoch={e}"))
         ]
         if not dirs:
-            return self.spark.createDataFrame([], self.schema())
+            from ..lake.table import empty_df
+
+            return empty_df(self.spark, self.schema())
         return self.spark.read.schema(self.schema()).parquet(*dirs)
 
     def epochs(self) -> list[int]:

@@ -131,3 +131,31 @@ def test_version_pointer_is_atomic_file(spark, cat):
     t = cat.create_table("ns.t8", SCHEMA, key_cols=["k", "seq"])
     v = open(os.path.join(t.path, "VERSION")).read()
     assert v.startswith("v") and len(v) == 10
+
+
+def test_merge_pruning_respects_bucket_cols(spark, cat):
+    """Regression: touched-bucket pruning must hash by bucket_cols (locality
+    spec), not key_cols — silver buckets by conv_id while merging on
+    (conv_id, turn_idx)."""
+    t = cat.create_table(
+        "ns.t9", SCHEMA, key_cols=["k", "seq"], bucket_cols=["k"], n_buckets=8
+    )
+    rows = [(f"k{i}", j, "v", "I", i * 10 + j) for i in range(20) for j in range(3)]
+    t.append(mk(spark, rows))
+    # single-conversation change: only k0's bucket may be rewritten
+    before = {f["path"] for f in t.current_snapshot().files}
+    merge_into(t, mk(spark, [("k0", 1, "v2", "U", 999)]))
+    after = {f["path"] for f in t.current_snapshot().files}
+    assert before & after, "untouched buckets must survive"
+    got = {(r.k, r.seq, r.v) for r in t.read().collect()}
+    assert ("k0", 1, "v2") in got and len(got) == 60
+
+
+def test_merge_prune_disabled_full_rewrite(spark, cat):
+    """prune_buckets=False (catch-up fast path) must produce identical state."""
+    t = cat.create_table("ns.t10", SCHEMA, key_cols=["k", "seq"], n_buckets=4)
+    t.append(mk(spark, [("a", 1, "old", "I", 1), ("b", 1, "keep", "I", 2)]))
+    changes = mk(spark, [("a", 1, "new", "U", 10), ("c", 1, "ins", "I", 12)])
+    merge_into(t, changes, prune_buckets=False)
+    got = {(r.k, r.v) for r in t.read().collect()}
+    assert got == {("a", "new"), ("b", "keep"), ("c", "ins")}
