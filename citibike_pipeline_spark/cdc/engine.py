@@ -224,6 +224,29 @@ class CdcEngine:
             threshold=max(int(self.hot_key_threshold * frac), 10),
         )
 
+    def _epoch_part_stats(self, epoch: int, done: set[int]) -> list[dict]:
+        """Per-partition offset stats for the uncommitted partitions of one
+        epoch. Prefers the stats the WAL recorded at landing time — replay
+        then needs NO lineage scan — and recomputes only for legacy epochs."""
+        stats = self.bronze.epoch_stats(epoch)
+        if stats is None:
+            ev = self.bronze.read_epoch(epoch)
+            stats = [
+                r.asDict()
+                for r in ev.groupBy("partition_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.min("lsn").alias("min_lsn"),
+                    F.max("lsn").alias("max_lsn"),
+                )
+                .collect()
+            ]
+        return [
+            {**st, "checkpoint_epoch": epoch}
+            for st in stats
+            if int(st["partition_id"]) not in done
+        ]
+
     def apply_epoch(self, epoch: int) -> dict:
         """Apply one epoch's change events to silver. Returns metrics dict."""
         t0 = time.time()
@@ -236,24 +259,10 @@ class CdcEngine:
         if done:
             events = events.filter(~F.col("partition_id").isin([int(p) for p in done]))
 
-        # one materialization of the epoch feeds lineage stats, hot-key
-        # detection, and the dedup window (3 passes over cache, 1 over disk)
-        events = events.persist()
-
-        # per-partition lineage stats (small: n_partitions rows)
-        part_stats = [
-            r.asDict()
-            for r in events.groupBy("partition_id")
-            .agg(
-                F.count(F.lit(1)).alias("n_events"),
-                F.min("lsn").alias("min_lsn"),
-                F.max("lsn").alias("max_lsn"),
-            )
-            .collect()
-        ]
+        # lineage stats come from the WAL landing record — no extra scan
+        part_stats = self._epoch_part_stats(epoch, done)
         n_events = int(sum(s["n_events"] for s in part_stats))
         if n_events == 0:
-            events.unpersist()
             metrics = {
                 "epoch": epoch,
                 "events_read": 0,
@@ -286,16 +295,13 @@ class CdcEngine:
             silver.schema(),
         )
 
-        try:
-            stats = merge_into(
-                silver,
-                changes,
-                resolver=self._lww_resolver(),
-                summary={"epoch": epoch},
-                prune_buckets=self._should_prune(n_events),
-            )
-        finally:
-            events.unpersist()
+        stats = merge_into(
+            silver,
+            changes,
+            resolver=self._lww_resolver(),
+            summary={"epoch": epoch},
+            prune_buckets=self._should_prune(n_events),
+        )
 
         # manifests AFTER the atomic snapshot commit; a crash in between is
         # safe because LWW re-application is a semantic no-op (see module doc)
@@ -333,7 +339,10 @@ class CdcEngine:
         silver = self.silver
         events = self.bronze.read_epochs(min(epochs), max(epochs) + 1)
 
-        # exactly-once: exclude (epoch, partition) pairs already committed
+        # exactly-once: exclude (epoch, partition) pairs already committed;
+        # lineage stats come from the WAL landing records — no extra scan
+        _t = time.time()
+        part_stats: list[dict] = []
         for e in epochs:
             done = self.committed_partitions(e)
             if done:
@@ -341,23 +350,10 @@ class CdcEngine:
                     (F.col("checkpoint_epoch") != e)
                     | ~F.col("partition_id").isin([int(p) for p in done])
                 )
-        events = events.persist()
-
-        _t = time.time()
-        part_stats = [
-            r.asDict()
-            for r in events.groupBy("checkpoint_epoch", "partition_id")
-            .agg(
-                F.count(F.lit(1)).alias("n_events"),
-                F.min("lsn").alias("min_lsn"),
-                F.max("lsn").alias("max_lsn"),
-            )
-            .collect()
-        ]
-        phases["scan_stats"] = round(time.time() - _t, 2)
+            part_stats.extend(self._epoch_part_stats(e, done))
+        phases["landing_stats"] = round(time.time() - _t, 2)
         n_events = int(sum(s["n_events"] for s in part_stats))
         if n_events == 0:
-            events.unpersist()
             metrics = {"epochs": epochs, "events_read": 0, "skipped": True,
                        "wall_sec": time.time() - t0}
             self._write_metrics(max(epochs), metrics)
@@ -383,16 +379,13 @@ class CdcEngine:
             changes.drop(*(c for c in _EVENT_META if c in changes.columns)),
             silver.schema(),
         )
-        try:
-            _t = time.time()
-            stats = merge_into(
-                silver, changes, resolver=self._lww_resolver(),
-                summary={"epochs": [min(epochs), max(epochs)]},
-                prune_buckets=self._should_prune(n_events),
-            )
-            phases["merge"] = round(time.time() - _t, 2)
-        finally:
-            events.unpersist()
+        _t = time.time()
+        stats = merge_into(
+            silver, changes, resolver=self._lww_resolver(),
+            summary={"epochs": [min(epochs), max(epochs)]},
+            prune_buckets=self._should_prune(n_events),
+        )
+        phases["merge"] = round(time.time() - _t, 2)
 
         by_epoch: dict[int, list[dict]] = {}
         for s in part_stats:

@@ -58,17 +58,47 @@ class BronzeLog:
         self._write_schema(new_schema)
 
     def append_epoch(self, df: DataFrame, epoch: int, n_files: int | None = None) -> None:
-        """Land one epoch's events as multiple files. Idempotent per (epoch,
-        attempt dir): a retried landing overwrites the epoch directory; real
-        deployments land via the same snapshot-commit pattern or Kafka offsets.
+        """Land one epoch's events as multiple files + per-partition offset
+        stats. Idempotent per (epoch, attempt dir): a retried landing
+        overwrites the epoch directory; real deployments land via the same
+        snapshot-commit pattern or Kafka offsets.
 
         Multiple files per epoch matter for replay parallelism: a single fat
         file caps the epoch scan at one task regardless of cluster size
-        (a real WAL lands one file per source partition anyway)."""
+        (a real WAL lands one file per source partition anyway).
+
+        Stats are computed at WRITE time — a WAL producer knows its offsets —
+        so replay never needs a dedicated lineage-stats scan (it was a full
+        extra pass of the epoch per merge)."""
         out = os.path.join(self.path, f"epoch={epoch}")
         cols = [f.name for f in self.schema().fields]
         n = n_files or self.spark.sparkContext.defaultParallelism
         df.select(*cols).repartition(n).write.parquet(out, mode="overwrite")
+        stats = [
+            r.asDict()
+            for r in self.spark.read.schema(self.schema())
+            .parquet(out)
+            .groupBy("partition_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min("lsn").alias("min_lsn"),
+                F.max("lsn").alias("max_lsn"),
+            )
+            .collect()
+        ]
+        tmp = os.path.join(out, f"_stats.json.tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(stats, f)
+        os.replace(tmp, os.path.join(out, "_stats.json"))
+
+    def epoch_stats(self, epoch: int) -> list[dict] | None:
+        """Per-(partition_id) offset stats recorded at landing time, or None
+        for epochs landed before stats existed (caller recomputes)."""
+        p = os.path.join(self.path, f"epoch={epoch}", "_stats.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
 
     def append_epoch_pandas(self, pdf: pd.DataFrame, epoch: int) -> None:
         sdf = self.spark.createDataFrame(pdf, schema=self.schema())
