@@ -46,7 +46,7 @@ from citibike_pipeline_spark.session import get_spark
 from citibike_pipeline_spark.cdc import CdcEngine
 
 cores = int(sys.argv[1])
-spark = get_spark(f"scale{{cores}}", master=f"local[{{cores}}]", shuffle_partitions=cores,
+spark = get_spark(f"scale{{cores}}", master=f"local[{{cores}}]", shuffle_partitions=cores * 2,
                   extra_conf={{"spark.local.dir": "/dev/shm/sparktmp"}})
 # JIT warmup: run the identical replay once untimed on a scratch copy — a
 # cold JVM spends 10-20 s compiling codegen paths, which is parallelism-

@@ -8,19 +8,23 @@ Per-epoch dataflow (`apply_epoch`)::
     bronze.read_epoch(e)                       -- directory-pruned scan
       |> skip partitions already in manifest   -- exactly-once fast path
       |> reconcile to silver superset schema   -- typed-NULL padding (evolution)
-      |> lww_dedup (full key, (lsn, op_rank))  -- shuffle #1: hash(conv,turn)
-      |> MERGE INTO silver, LWW resolver       -- union w/ touched buckets,
-      |                                           shuffle #2 window + salted
+      |> MERGE INTO silver, LWW resolver       -- ONE window over
+      |                                           (target ∪ events) resolves
+      |                                           duplicates, redeliveries and
+      |                                           cross-epoch LWW in a single
+      |                                           shuffle, then the salted
       |                                           bucketed write on hash(conv_id)
       |> write commit manifests (epoch, partition_id) + lineage stats
+      |                                           (stats recorded at landing)
       |> advance checkpoint, append metrics
 
-Shuffle accounting (scale design): exactly two key shuffles per epoch — the
-dedup window and the merge-resolve window — plus the salted write repartition
-(hash(conv_id) buckets, hot conversations spread over `write_salt` tasks by a
-deterministic key-hash salt; see lake.table._write_data_files). No redundant
-conv-level repartition sits between them: the window's own hash exchange on
-the *full* key already spreads hot conversations across turn_idx.
+Shuffle accounting (scale design): exactly ONE key shuffle per merge — the
+LWW-resolve window over (target ∪ events) on the full (conv_id, turn_idx)
+key — plus the salted write repartition (hash(conv_id) buckets, hot
+conversations spread over `write_salt` tasks by a deterministic key-hash
+salt; see lake.table._write_data_files). A separate pre-dedup window would
+be pure overhead: winner-of-winners equals the global winner. The window's
+hash exchange on the full key spreads hot conversations across turn_idx.
 
 Exactly-once: two complementary mechanisms.
 1. Commit manifests keyed (checkpoint_epoch, partition_id) — written after the
@@ -200,7 +204,10 @@ class CdcEngine:
             # stale cross-epoch redeliveries lose to existing state, fresh
             # changes beat it. Tombstones ('D' winners) are RETAINED.
             return lww_dedup(
-                target.select(*silver_cols).unionByName(changes.select(*silver_cols))
+                target.select(*silver_cols).unionByName(changes.select(*silver_cols)),
+                # deterministic pick among redelivered duplicates that tie on
+                # (lsn, op_rank): prefer the later ingest epoch
+                extra_order=[F.col("ingest_epoch").desc_nulls_last()],
             )
 
         return resolve
@@ -228,10 +235,10 @@ class CdcEngine:
         """Per-partition offset stats for the uncommitted partitions of one
         epoch. Prefers the stats the WAL recorded at landing time — replay
         then needs NO lineage scan — and recomputes only for legacy epochs."""
-        stats = self.bronze.epoch_stats(epoch)
-        if stats is None:
+        rec = self.bronze.epoch_stats(epoch)
+        if rec is None:
             ev = self.bronze.read_epoch(epoch)
-            stats = [
+            parts = [
                 r.asDict()
                 for r in ev.groupBy("partition_id")
                 .agg(
@@ -241,11 +248,25 @@ class CdcEngine:
                 )
                 .collect()
             ]
+        else:
+            parts = rec["partitions"]
         return [
             {**st, "checkpoint_epoch": epoch}
-            for st in stats
+            for st in parts
             if int(st["partition_id"]) not in done
         ]
+
+    def _hot_from_landing(self, epochs: list[int]) -> list[str] | None:
+        """Hot conversations from landing-time top-conv stats (no scan).
+        Returns None if any epoch lacks them (caller falls back to sampling)."""
+        totals: dict[str, int] = {}
+        for e in epochs:
+            rec = self.bronze.epoch_stats(e)
+            if rec is None or rec.get("top_convs") is None:
+                return None
+            for t in rec["top_convs"]:
+                totals[t["conv_id"]] = totals.get(t["conv_id"], 0) + int(t["n"])
+        return [c for c, n in totals.items() if n > self.hot_key_threshold]
 
     def apply_epoch(self, epoch: int) -> dict:
         """Apply one epoch's change events to silver. Returns metrics dict."""
@@ -284,12 +305,16 @@ class CdcEngine:
             silver = self.silver  # reload snapshot
 
         # observability: hot conversations in this epoch (drives salt sizing)
-        hot = self._detect_hot_sampled(events, n_events)
+        hot = self._hot_from_landing([epoch])
+        if hot is None:
+            hot = self._detect_hot_sampled(events, n_events)
 
-        # LWW dedup to ≤1 row/key, then project to silver schema
-        changes = lww_dedup(events).withColumn(
-            "ingest_epoch", F.lit(epoch).cast("int")
-        )
+        # No pre-dedup pass: the LWW merge resolver windows over
+        # (target ∪ changes) anyway, and winner-of-winners equals the global
+        # winner — pre-deduplicating would add a full extra shuffle+sort of
+        # the event set for nothing. (The ≤1-row/key contract applies to the
+        # DEFAULT source-wins resolver only.)
+        changes = events.withColumn("ingest_epoch", F.lit(epoch).cast("int"))
         changes = reconcile_to_schema(
             changes.drop(*(c for c in _EVENT_META if c in changes.columns)),
             silver.schema(),
@@ -369,12 +394,13 @@ class CdcEngine:
             silver = self.silver
 
         _t = time.time()
-        hot = self._detect_hot_sampled(events, n_events)
+        hot = self._hot_from_landing(epochs)
+        if hot is None:
+            hot = self._detect_hot_sampled(events, n_events)
         phases["hot_detect"] = round(time.time() - _t, 2)
 
-        changes = lww_dedup(events).withColumn(
-            "ingest_epoch", F.col("checkpoint_epoch")
-        )
+        # no pre-dedup: the LWW resolver's window subsumes it (see apply_epoch)
+        changes = events.withColumn("ingest_epoch", F.col("checkpoint_epoch"))
         changes = reconcile_to_schema(
             changes.drop(*(c for c in _EVENT_META if c in changes.columns)),
             silver.schema(),

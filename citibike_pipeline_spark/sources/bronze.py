@@ -74,11 +74,10 @@ class BronzeLog:
         cols = [f.name for f in self.schema().fields]
         n = n_files or self.spark.sparkContext.defaultParallelism
         df.select(*cols).repartition(n).write.parquet(out, mode="overwrite")
-        stats = [
+        landed = self.spark.read.schema(self.schema()).parquet(out)
+        parts = [
             r.asDict()
-            for r in self.spark.read.schema(self.schema())
-            .parquet(out)
-            .groupBy("partition_id")
+            for r in landed.groupBy("partition_id")
             .agg(
                 F.count(F.lit(1)).alias("n_events"),
                 F.min("lsn").alias("min_lsn"),
@@ -86,19 +85,32 @@ class BronzeLog:
             )
             .collect()
         ]
+        # top conversations by event count — the skew signal the engine needs
+        # for hot-key salting, known at landing time like the offsets
+        top = [
+            r.asDict()
+            for r in landed.groupBy("conv_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"))
+            .limit(20)
+            .collect()
+        ]
         tmp = os.path.join(out, f"_stats.json.tmp.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
-            json.dump(stats, f)
+            json.dump({"partitions": parts, "top_convs": top}, f)
         os.replace(tmp, os.path.join(out, "_stats.json"))
 
-    def epoch_stats(self, epoch: int) -> list[dict] | None:
-        """Per-(partition_id) offset stats recorded at landing time, or None
-        for epochs landed before stats existed (caller recomputes)."""
+    def epoch_stats(self, epoch: int) -> dict | None:
+        """Landing-time stats: {"partitions": [...], "top_convs": [...]}, or
+        None for epochs landed before stats existed (caller recomputes)."""
         p = os.path.join(self.path, f"epoch={epoch}", "_stats.json")
         if not os.path.exists(p):
             return None
         with open(p) as f:
-            return json.load(f)
+            d = json.load(f)
+        if isinstance(d, list):  # legacy format: partitions only
+            return {"partitions": d, "top_convs": None}
+        return d
 
     def append_epoch_pandas(self, pdf: pd.DataFrame, epoch: int) -> None:
         sdf = self.spark.createDataFrame(pdf, schema=self.schema())

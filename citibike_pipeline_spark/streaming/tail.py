@@ -25,7 +25,6 @@ import uuid
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..cdc.dedup import lww_dedup
 from ..cdc.engine import CdcEngine, _EVENT_META, _atomic_write_json
 from ..cdc.reconcile import reconcile_to_schema
 from ..lake import merge_into
@@ -66,9 +65,9 @@ class StreamingTail:
                 [StructField(f.name, f.dataType, True) for f in new_payload]
             )
             silver = self.engine.silver
-        changes = lww_dedup(batch_df).withColumn(
-            "ingest_epoch", F.col("checkpoint_epoch")
-        )
+        # no pre-dedup: the engine's LWW resolver windows over
+        # (target ∪ batch) and resolves duplicates there
+        changes = batch_df.withColumn("ingest_epoch", F.col("checkpoint_epoch"))
         changes = reconcile_to_schema(
             changes.drop(*(c for c in _EVENT_META if c in changes.columns)),
             silver.schema(),
