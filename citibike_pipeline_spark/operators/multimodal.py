@@ -36,6 +36,7 @@ MEDIA_META_SCHEMA = StructType(
         StructField("height", IntegerType(), True),
         StructField("n_frames", IntegerType(), True),
         StructField("content_sha1", StringType(), True),
+        StructField("content_md5", StringType(), True),
     ]
 )
 
@@ -69,6 +70,9 @@ def decode_media_metadata(df: DataFrame) -> DataFrame:
                     "content_sha1": payloads.map(
                         lambda p: hashlib.sha1(p).hexdigest()
                     ),
+                    "content_md5": payloads.map(
+                        lambda p: hashlib.md5(p).hexdigest()
+                    ),
                 }
             )
 
@@ -87,13 +91,26 @@ def m01_media_metadata(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise("video")
         .alias("media_type"),
     )
-    return decode_media_metadata(media)
+    # Project the DuckDB-checkable subset: doc_id/media_type/n_bytes/md5 are
+    # all derivable from the payload in ANSI SQL, so the binary-column path is
+    # hash-verified end-to-end (VERDICT r1 "What's wrong" #3). The fake decode
+    # dims (width/height/n_frames) stay engine-side, covered by pytest.
+    return decode_media_metadata(media).select(
+        "doc_id", "media_type", "n_bytes", "content_md5"
+    )
 
 
-# sha1 exists in DuckDB? Use the SQL-checkable subset (n_bytes, media_type);
-# fake dims are engine-side only -> this entry runs as rows-only unless the
-# oracle below is used for the checkable columns.
-M01_SQL = None
+# DuckDB md5() hashes the string's UTF-8 bytes and strlen() is byte length —
+# both verified to match hashlib.md5(text.encode())/len(encode(text)).
+M01_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""
 
 MULTIMODAL = {
     "m01_media_metadata": (m01_media_metadata, M01_SQL),

