@@ -453,6 +453,17 @@ class CdcEngine:
             return [self.apply_epochs(pending)]
         return [self.apply_epoch(e) for e in pending]
 
+    def touched_convs(self, epochs: list[int]) -> DataFrame:
+        """Distinct conversations changed by the given epochs — the scope of
+        an incremental gold refresh (includes deletes: a conv whose only
+        event is a tombstone must still be re-derived). Stays a DataFrame;
+        never collected — at 10^10 events this can be millions of keys."""
+        return (
+            self.bronze.read_epochs(min(epochs), max(epochs) + 1)
+            .select("conv_id")
+            .distinct()
+        )
+
     # -- serving views -------------------------------------------------------------
 
     def silver_view(self) -> DataFrame:

@@ -119,3 +119,59 @@ def merge_into(
         }
     finally:
         changes.unpersist()
+
+
+def replace_groups(
+    table: LakeTable,
+    group_cols: list[str],
+    groups: DataFrame,
+    new_rows: DataFrame,
+    summary: dict | None = None,
+) -> dict:
+    """Group-scoped refresh MERGE: atomically replace the table's contents for
+    the given key-groups with ``new_rows`` (the freshly computed state of
+    exactly those groups), leaving every other group's files untouched.
+
+    This is the incremental-materialization primitive for derived (gold)
+    tables whose rows are a pure per-group function of an upstream table —
+    the reference's dbt ``incremental`` MERGE by unique key scoped to the
+    current batch (``gold_fact_trips.sql:1-9``). Groups that vanish upstream
+    (e.g. a fully deleted conversation) are removed simply by being in
+    ``groups`` while contributing no ``new_rows``.
+
+    Requires ``group_cols`` to be a prefix-superset of the table's
+    ``bucket_cols`` so the rewrite prunes to the groups' buckets: cost scales
+    with the change-set's group spread, not table size.
+    """
+    snap = table.current_snapshot()
+    if not set(snap.bucket_cols) <= set(group_cols):
+        raise ValueError(
+            f"replace_groups: bucket_cols {snap.bucket_cols} must be derivable "
+            f"from group_cols {group_cols} for pruning to be sound"
+        )
+    cols = [f.name for f in snap.schema().fields]
+    groups = groups.select(*group_cols).distinct().persist()
+    try:
+        t0 = time.time()
+        touched = [
+            r[0]
+            for r in groups.select(bucket_expr(snap.bucket_cols, snap.n_buckets))
+            .distinct()
+            .collect()
+        ]
+        t_touched = time.time() - t0
+        if not touched:
+            return {"buckets_touched": 0, "snapshot_id": snap.snapshot_id}
+        target = table.read(buckets=touched)
+        survivors = target.join(groups, on=group_cols, how="left_anti")
+        merged = survivors.select(*cols).unionByName(new_rows.select(*cols))
+        t0 = time.time()
+        new_snap = table.replace_buckets(merged, touched, summary=summary)
+        return {
+            "buckets_touched": len(touched),
+            "snapshot_id": new_snap.snapshot_id,
+            "sec_touched_collect": round(t_touched, 2),
+            "sec_resolve_write": round(time.time() - t0, 2),
+        }
+    finally:
+        groups.unpersist()

@@ -236,6 +236,8 @@ class LakeTable:
             .write.partitionBy(BUCKET_COL)
             .parquet(out, mode="overwrite")
         )
+        import pyarrow.parquet as pq
+
         files: list[dict[str, Any]] = []
         for bdir in os.listdir(out):
             if not bdir.startswith(f"{BUCKET_COL}="):
@@ -243,8 +245,26 @@ class LakeTable:
             b = int(bdir.split("=")[1])
             for fn in os.listdir(os.path.join(out, bdir)):
                 if fn.endswith(".parquet"):
-                    files.append({"path": os.path.join(out, bdir, fn), "bucket": b})
+                    p = os.path.join(out, bdir, fn)
+                    # Iceberg-style DataFile stats: record count from the
+                    # parquet footer at commit time, so row counts are a
+                    # manifest lookup, never a table scan. Footer reads are
+                    # O(files-per-commit) = buckets × salt, driver-side.
+                    files.append(
+                        {"path": p, "bucket": b, "rows": pq.ParquetFile(p).metadata.num_rows}
+                    )
         return files
+
+    def row_count(self, snapshot_id: int | None = None) -> int:
+        """Row count from manifest stats (no scan). Falls back to a scan only
+        for files committed before per-file stats existed."""
+        snap = self.current_snapshot() if snapshot_id is None else None
+        if snap is None:
+            with open(os.path.join(self._snap_dir, f"v{snapshot_id:09d}.json")) as f:
+                snap = Snapshot.from_json(f.read())
+        if any(f.get("rows") is None for f in snap.files):
+            return self.read(snapshot_id=snapshot_id).count()
+        return sum(int(f["rows"]) for f in snap.files)
 
     def append(self, df: DataFrame, summary: dict[str, Any] | None = None) -> Snapshot:
         snap = self.current_snapshot()

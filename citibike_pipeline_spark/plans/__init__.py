@@ -8,6 +8,7 @@ from .gold import (
     gold_tool_usage,
     gold_top_conversations,
     build_gold,
+    refresh_gold,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "gold_tool_usage",
     "gold_top_conversations",
     "build_gold",
+    "refresh_gold",
 ]

@@ -31,6 +31,7 @@ def gold_conv_stats(silver: DataFrame) -> DataFrame:
     """Per-conversation metrics. Hash agg with map-side partials (Spark does
     partial+final automatically, ≙ A10); conditional aggregates via
     count(when(...)) — the FILTER-clause idiom of A2."""
+    silver = _with_tool(silver)
     return (
         silver.groupBy("conv_id")
         .agg(
@@ -52,6 +53,7 @@ def gold_running_turns(silver: DataFrame) -> DataFrame:
     """Cumulative turn/tool counters per conversation ordered by
     (ts, turn_idx) with deterministic tiebreak — the exact running-balance
     window shape of gold_fact_trips.sql:91-100 (ROWS UNBOUNDED PRECEDING)."""
+    silver = _with_tool(silver)
     w = (
         Window.partitionBy("conv_id")
         .orderBy("ts", "turn_idx")
@@ -87,18 +89,7 @@ def gold_quality_flags(silver: DataFrame) -> DataFrame:
     )
 
 
-def gold_dim_dates(spark: SparkSession, silver: DataFrame) -> DataFrame:
-    """Date spine spanning the corpus + calendar attributes.
-
-    sequence(min,max)+explode ≙ UNNEST(GENERATE_DATE_ARRAY(...)),
-    gold_dim_dates.sql:5-8; attribute extraction ≙ :12-19. The bounds come
-    from a 1-row aggregate cross-joined in (scalar-subquery shape, A5)."""
-    bounds = silver.agg(
-        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
-    )
-    spine = bounds.select(
-        F.explode(F.sequence("d0", "d1")).alias("date_key")
-    )
+def _date_attrs(spine: DataFrame) -> DataFrame:
     return spine.select(
         "date_key",
         F.year("date_key").alias("year"),
@@ -112,63 +103,245 @@ def gold_dim_dates(spark: SparkSession, silver: DataFrame) -> DataFrame:
     )
 
 
-def gold_tool_usage(silver: DataFrame) -> DataFrame:
-    """Tool usage enriched by the broadcast tool catalog; COALESCE on miss
-    (≙ holiday join gold_dim_dates.sql:26-28 + silver_stations.sql:73-79)."""
-    spark = silver.sparkSession
-    dim = tool_catalog(spark)
-    used = silver.filter(F.col("tool").isNotNull())
+def gold_dim_dates(spark: SparkSession, silver: DataFrame) -> DataFrame:
+    """Date spine spanning the corpus + calendar attributes.
+
+    sequence(min,max)+explode ≙ UNNEST(GENERATE_DATE_ARRAY(...)),
+    gold_dim_dates.sql:5-8; attribute extraction ≙ :12-19. The bounds come
+    from a 1-row aggregate cross-joined in (scalar-subquery shape, A5)."""
+    bounds = silver.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("date_key")
+    )
+    return _date_attrs(spine)
+
+
+def gold_tool_conv_counts(silver: DataFrame) -> DataFrame:
+    """Per-(tool, conversation) call counts — the incrementally maintainable
+    intermediate under tool_usage. One row per distinct (tool, conv_id), so
+    the final rollup never re-scans silver: n_calls distributes over SUM and
+    COUNT DISTINCT conv_id becomes COUNT(*) of this table."""
+    silver = _with_tool(silver)
     return (
-        used.join(F.broadcast(dim), on="tool", how="left")
+        silver.filter(F.col("tool").isNotNull())
+        .groupBy("tool", "conv_id")
+        .agg(F.count(F.lit(1)).alias("n_calls"))
+    )
+
+
+def gold_tool_usage_from_counts(counts: DataFrame) -> DataFrame:
+    """Tool usage enriched by the broadcast tool catalog; COALESCE on miss
+    (≙ holiday join gold_dim_dates.sql:26-28 + silver_stations.sql:73-79).
+    Rolls up the (tool, conv_id) intermediate — cost O(|tool_conv_counts|),
+    independent of silver size."""
+    dim = tool_catalog(counts.sparkSession)
+    return (
+        counts.join(F.broadcast(dim), on="tool", how="left")
         .groupBy("tool", F.coalesce("category", F.lit("unknown")).alias("category"))
         .agg(
-            F.count(F.lit(1)).alias("n_calls"),
-            F.countDistinct("conv_id").alias("n_convs"),
+            F.sum("n_calls").alias("n_calls"),
+            F.count(F.lit(1)).alias("n_convs"),
         )
+    )
+
+
+def gold_tool_usage(silver: DataFrame) -> DataFrame:
+    return gold_tool_usage_from_counts(gold_tool_conv_counts(silver))
+
+
+def gold_top_conversations_from_stats(
+    stats: DataFrame, min_turns: int = 10, top_k: int = 100
+) -> DataFrame:
+    """Busiest conversations above a floor — GROUP BY + HAVING + ORDER/LIMIT
+    (gold_commuter_edges.sql:18-33,64-69 shape). Takes conv_stats (one row
+    per conversation) so the top-k re-rank costs O(#convs), not O(#turns)."""
+    return (
+        stats.filter(F.col("n_turns") >= min_turns)
+        .orderBy(F.desc("n_turns"), "conv_id")
+        .limit(top_k)
     )
 
 
 def gold_top_conversations(
     silver: DataFrame, min_turns: int = 10, top_k: int = 100
 ) -> DataFrame:
-    """Busiest conversations above a floor — GROUP BY + HAVING + ORDER/LIMIT
-    (gold_commuter_edges.sql:18-33,64-69 shape)."""
-    return (
-        gold_conv_stats(silver)
-        .filter(F.col("n_turns") >= min_turns)
-        .orderBy(F.desc("n_turns"), "conv_id")
-        .limit(top_k)
-    )
+    return gold_top_conversations_from_stats(gold_conv_stats(silver), min_turns, top_k)
 
 
-def build_gold(engine) -> dict[str, int]:
-    """Full gold refresh after replay (I6): each plan materialized as a lake
-    table via one atomic overwrite. Returns row counts."""
-    spark = engine.spark
-    silver = engine.silver_view()
-    plans = {
+# Table layout specs. The conv-keyed tables bucket by conv_id ALONE (even
+# when the logical key includes turn_idx) so replace_groups can prune their
+# rewrite to the buckets containing the epoch's touched conversations.
+_GOLD_SPECS: dict[str, dict] = {
+    "gold.conv_stats": {"keys": ["conv_id"], "bucket": ["conv_id"]},
+    "gold.running_turns": {"keys": ["conv_id", "turn_idx"], "bucket": ["conv_id"]},
+    "gold.quality_flags": {"keys": ["conv_id", "turn_idx"], "bucket": ["conv_id"]},
+    "gold.tool_conv_counts": {"keys": ["tool", "conv_id"], "bucket": ["conv_id"]},
+    "gold.dim_dates": {"keys": ["date_key"], "bucket": ["date_key"]},
+    "gold.tool_usage": {"keys": ["tool"], "bucket": ["tool"]},
+    "gold.top_conversations": {"keys": ["conv_id"], "bucket": ["conv_id"]},
+}
+
+# Tables whose rows are a pure per-conversation function of silver — the
+# replace_groups (incremental MERGE) set.
+_CONV_SCOPED = [
+    "gold.conv_stats",
+    "gold.running_turns",
+    "gold.quality_flags",
+    "gold.tool_conv_counts",
+]
+
+
+def _ensure_table(engine, name: str, df: DataFrame):
+    if not engine.catalog.table_exists(name):
+        engine.catalog.create_table(
+            name,
+            df.schema,
+            key_cols=_GOLD_SPECS[name]["keys"],
+            bucket_cols=_GOLD_SPECS[name]["bucket"],
+            n_buckets=8,
+            write_salt=1,
+        )
+    return engine.catalog.load_table(name)
+
+
+def _with_tool(silver: DataFrame) -> DataFrame:
+    """Pad a typed-NULL `tool` before the v1→v2 schema evolution lands, so
+    gold schemas are stable across the evolution seam (same superset
+    projection silver itself uses, cdc.reconcile)."""
+    if "tool" not in silver.columns:
+        silver = silver.withColumn("tool", F.lit(None).cast("string"))
+    return silver
+
+
+def _conv_plans(silver: DataFrame) -> dict[str, DataFrame]:
+    silver = _with_tool(silver)
+    return {
         "gold.conv_stats": gold_conv_stats(silver),
         "gold.running_turns": gold_running_turns(silver),
         "gold.quality_flags": gold_quality_flags(silver),
-        "gold.dim_dates": gold_dim_dates(spark, silver),
-        "gold.tool_usage": gold_tool_usage(silver),
-        "gold.top_conversations": gold_top_conversations(silver),
+        "gold.tool_conv_counts": gold_tool_conv_counts(silver),
     }
-    keys = {
-        "gold.conv_stats": ["conv_id"],
-        "gold.running_turns": ["conv_id", "turn_idx"],
-        "gold.quality_flags": ["conv_id", "turn_idx"],
-        "gold.dim_dates": ["date_key"],
-        "gold.tool_usage": ["tool"],
-        "gold.top_conversations": ["conv_id"],
+
+
+def build_gold(engine) -> dict[str, int]:
+    """Full gold refresh (I6): each plan materialized as one atomic
+    overwrite. Returns row counts — from commit manifests, no post-write
+    scans. Used for first build and backfills; steady-state epochs go
+    through refresh_gold."""
+    spark = engine.spark
+    silver = engine.silver_view()
+    conv_plans = _conv_plans(silver)
+    plans = {
+        **conv_plans,
+        "gold.dim_dates": gold_dim_dates(spark, silver),
+        "gold.tool_usage": gold_tool_usage_from_counts(
+            conv_plans["gold.tool_conv_counts"]
+        ),
+        "gold.top_conversations": gold_top_conversations_from_stats(
+            conv_plans["gold.conv_stats"]
+        ),
     }
     counts = {}
     for name, df in plans.items():
-        if not engine.catalog.table_exists(name):
-            engine.catalog.create_table(
-                name, df.schema, key_cols=keys[name], n_buckets=8, write_salt=1
-            )
-        t = engine.catalog.load_table(name)
+        t = _ensure_table(engine, name, df)
         t.overwrite(df)
-        counts[name] = t.read().count()
+        counts[name] = t.row_count()
     return counts
+
+
+def refresh_gold(engine, touched_convs: DataFrame) -> dict:
+    """Incremental gold refresh scoped to one replay's touched conversations
+    (≙ dbt incremental MERGE by unique key scoped to the batch,
+    gold_fact_trips.sql:1-9) — replaces the round-1 full-rebuild-per-epoch,
+    the O(table)-per-epoch cost that inverts at 10^10 rows.
+
+    - conv-scoped tables (conv_stats, running_turns, quality_flags,
+      tool_conv_counts): recomputed ONLY for touched conversations from a
+      bucket-pruned silver read, then replace_groups-merged — cost scales
+      with the change-set's conversation spread, not table size.
+    - tool_usage / top_conversations: re-ranked from the maintained
+      intermediates (tool_conv_counts / conv_stats), never from silver.
+    - dim_dates: monotone spine — only dates extending the covered range are
+      appended (a calendar dim never shrinks).
+
+    Falls back to build_gold when any gold table is missing.
+    """
+    from ..lake.merge import replace_groups
+    from ..lake.table import bucket_expr
+
+    if any(not engine.catalog.table_exists(n) for n in _GOLD_SPECS):
+        return {"mode": "full", "counts": build_gold(engine), "buckets_touched": {}}
+
+    touched = touched_convs.select("conv_id").distinct().persist()
+    stats_out: dict[str, int] = {}
+    counts_out: dict[str, int] = {}
+    try:
+        # one bucket-pruned silver read feeds all conv-scoped recomputes
+        ssnap = engine.silver.current_snapshot()
+        sbuckets = [
+            r[0]
+            for r in touched.select(bucket_expr(ssnap.bucket_cols, ssnap.n_buckets))
+            .distinct()
+            .collect()
+        ]
+        silver_touched = (
+            engine.silver.read(buckets=sbuckets)
+            .filter(F.col("op") != "D")
+            .drop("op", "ingest_epoch")
+            .join(touched, on="conv_id", how="left_semi")
+            .persist()
+        )
+        try:
+            for name, df in _conv_plans(silver_touched).items():
+                t = engine.catalog.load_table(name)
+                st = replace_groups(t, ["conv_id"], touched, df, summary={"gold": name})
+                stats_out[name] = st["buckets_touched"]
+                counts_out[name] = t.row_count()
+
+            # dim_dates: extend the spine to cover the new corpus span
+            counts_out["gold.dim_dates"] = _extend_dim_dates(engine, silver_touched)
+        finally:
+            silver_touched.unpersist()
+
+        # derived rollups from the maintained intermediates (small inputs)
+        tcc = engine.catalog.load_table("gold.tool_conv_counts").read()
+        tu = engine.catalog.load_table("gold.tool_usage")
+        tu.overwrite(gold_tool_usage_from_counts(tcc))
+        counts_out["gold.tool_usage"] = tu.row_count()
+
+        cs = engine.catalog.load_table("gold.conv_stats").read()
+        top = engine.catalog.load_table("gold.top_conversations")
+        top.overwrite(gold_top_conversations_from_stats(cs))
+        counts_out["gold.top_conversations"] = top.row_count()
+    finally:
+        touched.unpersist()
+    return {"mode": "incremental", "counts": counts_out, "buckets_touched": stats_out}
+
+
+def _extend_dim_dates(engine, silver_touched: DataFrame) -> int:
+    """Append calendar rows so the spine stays contiguous over
+    [min(existing, new), max(existing, new)]. Dates never shrink."""
+    t = engine.catalog.load_table("gold.dim_dates")
+    existing = t.read()
+    new_b = silver_touched.agg(
+        F.min(F.to_date("ts")).alias("n0"), F.max(F.to_date("ts")).alias("n1")
+    )
+    old_b = existing.agg(F.min("date_key").alias("e0"), F.max("date_key").alias("e1"))
+    bounds = new_b.crossJoin(old_b).select(
+        F.least(F.coalesce("n0", "e0"), F.coalesce("e0", "n0")).alias("d0"),
+        F.greatest(F.coalesce("n1", "e1"), F.coalesce("e1", "n1")).alias("d1"),
+    )
+    spine = bounds.filter(F.col("d0").isNotNull()).select(
+        F.explode(F.sequence("d0", "d1")).alias("date_key")
+    )
+    missing = _date_attrs(spine).join(
+        existing.select("date_key"), on="date_key", how="left_anti"
+    ).persist()
+    try:
+        if missing.count() > 0:
+            t.append(missing, summary={"gold": "dim_dates_extend"})
+    finally:
+        missing.unpersist()
+    return t.row_count()

@@ -28,6 +28,10 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=8)
     ap.add_argument("--events-per-epoch", type=int, default=50_000)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--evolution-epoch", type=int, default=None,
+                    help="epoch at which the v2 (tool) schema appears; defaults to "
+                         "epochs//2. Pin it explicitly when resuming with a larger "
+                         "--epochs so the generated corpus stays identical.")
     ap.add_argument("--n-buckets", type=int, default=32)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--from-checkpoint", action="store_true",
@@ -35,13 +39,15 @@ def main() -> None:
     ap.add_argument("--skip-parity", action="store_true",
                     help="skip the oracle parity check (pure throughput run)")
     ap.add_argument("--skip-gold", action="store_true")
+    ap.add_argument("--full-gold", action="store_true",
+                    help="force a full gold rebuild instead of the incremental refresh")
     args = ap.parse_args()
 
     from citibike_pipeline_spark.session import get_spark
     from citibike_pipeline_spark.cdc import CdcEngine
     from citibike_pipeline_spark.cdc.generator import GenConfig, generate_epoch, generate_corpus_pandas
     from citibike_pipeline_spark.cdc.oracle import expected_silver
-    from citibike_pipeline_spark.plans import build_gold
+    from citibike_pipeline_spark.plans import build_gold, refresh_gold
 
     spark = get_spark("cdc-replay", shuffle_partitions=args.shuffle_partitions)
     cores = spark.sparkContext.defaultParallelism
@@ -51,7 +57,11 @@ def main() -> None:
         n_epochs=args.epochs,
         events_per_epoch=args.events_per_epoch,
         seed=args.seed,
-        evolution_epoch=max(args.epochs // 2, 1),
+        evolution_epoch=(
+            args.evolution_epoch
+            if args.evolution_epoch is not None
+            else max(args.epochs // 2, 1)
+        ),
     )
     eng = CdcEngine(spark, args.warehouse, n_buckets=args.n_buckets)
 
@@ -64,16 +74,46 @@ def main() -> None:
             eng.ingest_epoch_pandas(generate_epoch(cfg, e), e)
         gen_sec = time.time() - t_gen
     else:
-        gen_sec = 0.0
+        # resume: land only epochs the WAL hasn't delivered yet (idempotent) —
+        # rerunning with a larger --epochs simulates new WAL arriving while
+        # the engine was down, exercising catch-up + incremental gold
+        t_gen = time.time()
+        landed = set(eng.bronze.epochs())
+        for e in range(cfg.n_epochs):
+            if e not in landed:
+                eng.ingest_epoch_pandas(generate_epoch(cfg, e), e)
+        gen_sec = time.time() - t_gen
 
     t0 = time.time()
     metrics = eng.replay()
     replay_sec = time.time() - t0
     events = sum(m.get("events_read", 0) for m in metrics)
 
-    gold_counts = {}
+    applied = []
+    for m in metrics:
+        if m.get("skipped"):
+            continue
+        applied.extend(m["epochs"] if "epochs" in m else [m["epoch"]])
+
+    from citibike_pipeline_spark.plans.gold import _GOLD_SPECS
+
+    gold_counts, gold_mode = {}, None
+    t_gold = time.time()
     if not args.skip_gold:
-        gold_counts = build_gold(eng)
+        have_gold = all(eng.catalog.table_exists(n) for n in _GOLD_SPECS)
+        if args.full_gold or not have_gold:
+            gold_counts, gold_mode = build_gold(eng), "full"
+        elif not applied:
+            # exactly-once no-op resume: gold is already current; counts come
+            # from commit manifests, no scan and no rebuild
+            gold_mode = "noop"
+            gold_counts = {
+                n: eng.catalog.load_table(n).row_count() for n in _GOLD_SPECS
+            }
+        else:
+            info = refresh_gold(eng, eng.touched_convs(applied))
+            gold_counts, gold_mode = info["counts"], info["mode"]
+    gold_sec = time.time() - t_gold
 
     parity = None
     if not args.skip_parity:
@@ -106,6 +146,8 @@ def main() -> None:
                 "parity": parity,
                 "silver_rows": int(eng.silver_view().count()),
                 "gold": gold_counts,
+                "gold_mode": gold_mode,
+                "gold_sec": round(gold_sec, 2),
                 "checkpoint": eng.checkpoint(),
             }
         )

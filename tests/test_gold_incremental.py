@@ -1,0 +1,124 @@
+"""Incremental gold maintenance (replace_groups MERGE) vs full rebuild.
+
+Pins the VERDICT r1 "What's missing" #1 fix: after an epoch-at-a-time replay
+with an incremental gold refresh per epoch, every gold table must equal the
+full-refresh plan over final silver — and the refresh must rewrite only the
+buckets containing the epoch's touched conversations (cost scales with the
+change-set, not table size).
+"""
+
+import pandas as pd
+import pytest
+
+from citibike_pipeline_spark.cdc import CdcEngine
+from citibike_pipeline_spark.cdc.generator import GenConfig, generate_epoch
+from citibike_pipeline_spark.plans import refresh_gold
+from citibike_pipeline_spark.plans.gold import (
+    _conv_plans,
+    gold_dim_dates,
+    gold_tool_usage,
+    gold_top_conversations,
+)
+
+CFG = GenConfig(
+    n_convs=40,
+    n_epochs=4,
+    events_per_epoch=1500,
+    seed=11,
+    evolution_epoch=2,
+    n_hot=2,
+    turns_hot=200,
+    turns_normal=30,
+)
+
+
+@pytest.fixture(scope="module")
+def incr_engine(spark, tmp_path_factory):
+    """Replay epoch-at-a-time with an incremental gold refresh after each."""
+    wh = str(tmp_path_factory.mktemp("wh_gold_incr"))
+    eng = CdcEngine(spark, wh, n_buckets=8, write_salt=1, hot_key_threshold=500)
+    eng.init_tables()
+    modes = []
+    for e in range(CFG.n_epochs):
+        eng.ingest_epoch_pandas(generate_epoch(CFG, e), e)
+        eng.replay(catchup=False)
+        info = refresh_gold(eng, eng.touched_convs([e]))
+        modes.append(info["mode"])
+    return eng, modes
+
+
+def _sorted_pdf(df) -> pd.DataFrame:
+    pdf = df.toPandas()
+    cols = sorted(pdf.columns)
+    return (
+        pdf[cols]
+        .sort_values(cols, kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def test_first_refresh_full_then_incremental(incr_engine):
+    _, modes = incr_engine
+    assert modes[0] == "full"  # tables didn't exist yet
+    assert all(m == "incremental" for m in modes[1:])
+
+
+@pytest.mark.parametrize(
+    "table", ["gold.conv_stats", "gold.running_turns", "gold.quality_flags",
+              "gold.tool_conv_counts"]
+)
+def test_conv_scoped_tables_match_full_rebuild(incr_engine, table):
+    eng, _ = incr_engine
+    silver = eng.silver_view()
+    want = _sorted_pdf(_conv_plans(silver)[table])
+    got = _sorted_pdf(eng.catalog.load_table(table).read())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_derived_tables_match_full_rebuild(incr_engine):
+    eng, _ = incr_engine
+    silver = eng.silver_view()
+    for name, plan in [
+        ("gold.dim_dates", gold_dim_dates(eng.spark, silver)),
+        ("gold.tool_usage", gold_tool_usage(silver)),
+        ("gold.top_conversations", gold_top_conversations(silver)),
+    ]:
+        got = _sorted_pdf(eng.catalog.load_table(name).read())
+        want = _sorted_pdf(plan)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
+
+
+def test_refresh_cost_scales_with_touched_convs(incr_engine):
+    """An epoch touching ONE conversation rewrites only that conversation's
+    gold bucket (1 of 8), not the whole table."""
+    eng, _ = incr_engine
+    e = CFG.n_epochs
+    one = pd.DataFrame(
+        {
+            "lsn": [10_000_000, 10_000_001],
+            "op": ["U", "I"],
+            "conv_id": ["conv_00005", "conv_00005"],
+            "turn_idx": [0, 1],
+            "role": ["user", "assistant"],
+            "text": ["patched turn 0", "patched turn 1"],
+            "tool": [None, "search"],
+            "ts": pd.to_datetime(["2024-06-01 10:00:00", "2024-06-01 10:00:05"]),
+            "schema_version": [2, 2],
+            "partition_id": [0, 0],
+            "checkpoint_epoch": [e, e],
+        }
+    )
+    eng.ingest_epoch_pandas(one, e)
+    eng.replay(catchup=False)
+    info = refresh_gold(eng, eng.touched_convs([e]))
+    assert info["mode"] == "incremental"
+    for table, n_buckets in info["buckets_touched"].items():
+        assert n_buckets == 1, f"{table} rewrote {n_buckets} buckets for 1 conv"
+    # and the patched rows actually landed
+    stats = (
+        eng.catalog.load_table("gold.conv_stats")
+        .read()
+        .filter("conv_id = 'conv_00005'")
+        .collect()
+    )
+    assert len(stats) == 1
