@@ -16,7 +16,7 @@ from .schemas import (
 )
 from .generator import generate_epoch, generate_corpus_pandas
 from .oracle import expected_silver
-from .dedup import lww_dedup, op_rank_col
+from .dedup import lww_dedup, lww_dedup_agg, op_rank_col
 from .engine import CdcEngine
 
 __all__ = [
@@ -29,6 +29,7 @@ __all__ = [
     "generate_corpus_pandas",
     "expected_silver",
     "lww_dedup",
+    "lww_dedup_agg",
     "op_rank_col",
     "CdcEngine",
 ]

@@ -48,3 +48,33 @@ def lww_dedup(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def lww_dedup_agg(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    extra_order_cols: list | None = None,
+) -> DataFrame:
+    """LWW collapse as a hash aggregate: max_by(payload, (lsn, op_rank, …)).
+
+    Semantically identical to lww_dedup (struct comparison is lexicographic,
+    same total order) but physically much better at scale: ONE hash exchange
+    with MAP-SIDE PARTIAL aggregation — duplicates and redeliveries collapse
+    before the shuffle, so shuffle volume scales with distinct keys, not
+    events — and no per-partition sort at all (the window variant must sort
+    every partition). This is the merge hot path's resolver kernel.
+
+    ``extra_order_cols`` are appended ASCENDING-max tiebreaks (pass e.g.
+    ``F.coalesce(F.col("ingest_epoch"), F.lit(-1))`` for "later epoch wins,
+    NULL loses").
+    """
+    keys = key_cols or KEY_COLS
+    cols = events.columns
+    ord_fields = [F.col("lsn"), op_rank_col()] + list(extra_order_cols or [])
+    ord_struct = F.struct(*[f.alias(f"_o{i}") for i, f in enumerate(ord_fields)])
+    payload = F.struct(*[F.col(c) for c in cols])
+    return (
+        events.groupBy(*keys)
+        .agg(F.max_by(payload, ord_struct).alias("_row"))
+        .select("_row.*")
+    )

@@ -55,8 +55,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
 from ..lake import LakeCatalog, merge_into
+from ..lake import fs
 from ..sources.bronze import BronzeLog
-from .dedup import lww_dedup
+from .dedup import lww_dedup_agg
 from .reconcile import reconcile_to_schema
 from .schemas import EVENT_SCHEMA_V1, KEY_COLS
 from .skew import detect_hot_keys
@@ -66,10 +67,9 @@ _EVENT_META = {"schema_version", "partition_id", "checkpoint_epoch"}
 
 
 def _atomic_write_json(path: str, obj: dict) -> None:
-    tmp = path + f".tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump(obj, f)
-    os.replace(tmp, path)
+    # metadata goes through the lake's FS seam (lake.fs) — one adapter swap
+    # for object-store deployments
+    fs.write_json_atomic(path, obj)
 
 
 class CdcEngine:
@@ -96,8 +96,8 @@ class CdcEngine:
     # -- setup -----------------------------------------------------------------
 
     def init_tables(self, event_schema: StructType = EVENT_SCHEMA_V1) -> None:
-        os.makedirs(self._manifest_dir, exist_ok=True)
-        os.makedirs(self._metrics_dir, exist_ok=True)
+        fs.makedirs(self._manifest_dir)
+        fs.makedirs(self._metrics_dir)
         if not self.bronze.exists():
             BronzeLog.create(self.spark, self.bronze.path, event_schema)
         if not self.catalog.table_exists("silver.transcript_turns"):
@@ -162,7 +162,7 @@ class CdcEngine:
         pre = f"e{epoch:06d}_p"
         return {
             int(fn[len(pre):-5])
-            for fn in os.listdir(self._manifest_dir)
+            for fn in fs.listdir(self._manifest_dir)
             if fn.startswith(pre) and fn.endswith(".json")
         }
 
@@ -183,15 +183,38 @@ class CdcEngine:
             )
 
     def checkpoint(self) -> dict:
-        if not os.path.exists(self._checkpoint_file):
+        if not fs.exists(self._checkpoint_file):
             return {"last_epoch": -1, "snapshot_id": 0}
-        with open(self._checkpoint_file) as f:
-            return json.load(f)
+        return fs.read_json(self._checkpoint_file)
 
     def _advance_checkpoint(self, epoch: int, snapshot_id: int) -> None:
+        # never regress: applying a late-landed epoch below the checkpoint
+        # (gap replay) must not rewind the resume pointer
+        last = max(int(self.checkpoint()["last_epoch"]), int(epoch))
         _atomic_write_json(
-            self._checkpoint_file, {"last_epoch": epoch, "snapshot_id": snapshot_id}
+            self._checkpoint_file, {"last_epoch": last, "snapshot_id": snapshot_id}
         )
+
+    def _committed_by_epoch(self) -> dict[int, set[int]]:
+        """One manifest-dir listing -> {epoch: committed partition ids}."""
+        out: dict[int, set[int]] = {}
+        for fn in fs.listdir(self._manifest_dir):
+            # e%06d_p%04d.json
+            if fn.startswith("e") and fn.endswith(".json") and "_p" in fn:
+                e, _, p = fn[1:-5].partition("_p")
+                out.setdefault(int(e), set()).add(int(p))
+        return out
+
+    def _is_fully_committed(self, epoch: int, committed: set[int]) -> bool:
+        """True iff every partition the WAL landed for this epoch has a
+        commit manifest. Epochs without a landing record are conservatively
+        treated as pending (apply_epoch's manifest filter makes re-applying
+        them a no-op scan)."""
+        rec = self.bronze.epoch_stats(epoch)
+        if rec is None:
+            return False
+        parts = {int(st["partition_id"]) for st in rec["partitions"]}
+        return parts <= committed
 
     # -- the apply path ------------------------------------------------------------
 
@@ -203,20 +226,29 @@ class CdcEngine:
             # same documented total order (lsn, op_rank) pick every winner —
             # stale cross-epoch redeliveries lose to existing state, fresh
             # changes beat it. Tombstones ('D' winners) are RETAINED.
-            return lww_dedup(
+            # max_by hash-aggregate kernel: one exchange, map-side partial
+            # collapse of duplicates, no sort (vs the window idiom).
+            return lww_dedup_agg(
                 target.select(*silver_cols).unionByName(changes.select(*silver_cols)),
                 # deterministic pick among redelivered duplicates that tie on
-                # (lsn, op_rank): prefer the later ingest epoch
-                extra_order=[F.col("ingest_epoch").desc_nulls_last()],
+                # (lsn, op_rank): prefer the later ingest epoch, NULL loses
+                extra_order_cols=[F.coalesce(F.col("ingest_epoch"), F.lit(-1))],
             )
 
         return resolve
 
     def _should_prune(self, n_events: int) -> bool:
-        """Bucket pruning pays when the change-set plausibly misses buckets;
-        a large batch statistically covers all of them, and skipping the
-        touched-collect saves one full dedup execution of serial driver time."""
-        return n_events < self.n_buckets * 20_000
+        """Bucket pruning pays when the change-set is SMALL RELATIVE TO THE
+        TABLE: the touched-bucket collect costs one pass over the change-set
+        and saves reading+rewriting every untouched bucket. A change-set
+        comparable to the table statistically covers all buckets anyway, and
+        against a small/empty table (bootstrap, catch-up from scratch) there
+        is nothing to save — so the threshold is table-relative, not an
+        absolute event count (which inverted at large table sizes: a fixed
+        640k-event cutoff forced FULL-table rewrites precisely when the table
+        dwarfed the batch). Table size is a manifest lookup, not a scan."""
+        table_rows = self.silver.row_count()
+        return n_events * 4 < table_rows
 
     def _detect_hot_sampled(self, events: DataFrame, n_events: int) -> list[str]:
         """Hot-conversation detection on a sample: at 10^7+ events an exact
@@ -437,15 +469,22 @@ class CdcEngine:
         return metrics
 
     def replay(self, to_epoch: int | None = None, catchup: bool = True) -> list[dict]:
-        """Resume from the checkpoint and apply all landed epochs (≤ to_epoch).
+        """Apply every landed epoch (≤ to_epoch) that is not fully committed.
+
+        Pending-ness is manifest-derived, NOT checkpoint-derived: an epoch
+        directory that lands LATE — after a later epoch was already applied
+        and advanced the checkpoint — is still detected (its partitions lack
+        commit manifests) and replayed. LWW order-independence makes the late
+        application correct; the checkpoint is only a monotone resume hint.
 
         With catchup=True (default) the whole backlog goes through one
         apply_epochs merge; catchup=False applies epoch-at-a-time (the
         incremental/tail mode)."""
-        start = self.checkpoint()["last_epoch"] + 1
+        committed = self._committed_by_epoch()
         pending = [
             e for e in self.bronze.epochs()
-            if e >= start and (to_epoch is None or e <= to_epoch)
+            if (to_epoch is None or e <= to_epoch)
+            and not self._is_fully_committed(e, committed.get(e, set()))
         ]
         if not pending:
             return []
@@ -471,15 +510,27 @@ class CdcEngine:
         (conv_id, turn_idx, lsn) order available via the kept lsn column."""
         return self.silver.read().filter(F.col("op") != "D").drop("op", "ingest_epoch")
 
-    def compact(self) -> dict:
-        """Purge tombstones below the replay low-watermark + expire snapshots.
+    def compact(self, watermark_lsn: int | None = None) -> dict:
+        """Purge tombstones at-or-below the replay low-watermark + expire
+        snapshots.
 
-        Safe once no event with lsn ≤ watermark can ever be redelivered (the
-        WAL retention contract). Full-table rewrite — run rarely, off-path.
+        ``watermark_lsn`` is the WAL retention bound: no event with
+        lsn ≤ watermark can ever be redelivered, so tombstones up to it can
+        never be needed to suppress a resurrection and are safe to drop.
+        Tombstones ABOVE the watermark are retained — purging them would let
+        a late redelivery of an older event resurrect a deleted key. With no
+        watermark given, NO tombstones are purged (snapshot expiry only).
+        Full-table rewrite — run rarely, off-path.
         """
         silver = self.silver
-        live = silver.read().filter(F.col("op") != "D")
-        snap = silver.overwrite(live, summary={"operation": "compact"})
+        if watermark_lsn is None:
+            keep = F.lit(True)  # no redelivery bound given -> purge nothing
+        else:
+            keep = (F.col("op") != "D") | (F.col("lsn") > F.lit(int(watermark_lsn)))
+        live = silver.read().filter(keep)
+        snap = silver.overwrite(
+            live, summary={"operation": "compact", "watermark_lsn": watermark_lsn}
+        )
         removed = silver.expire_snapshots(keep_last=2)
         return {"snapshot_id": snap.snapshot_id, "files_removed": removed}
 
@@ -493,16 +544,14 @@ class CdcEngine:
 
     def metrics(self) -> list[dict]:
         out = []
-        for fn in sorted(os.listdir(self._metrics_dir)):
-            with open(os.path.join(self._metrics_dir, fn)) as f:
-                out.append(json.load(f))
+        for fn in sorted(fs.listdir(self._metrics_dir)):
+            out.append(fs.read_json(os.path.join(self._metrics_dir, fn)))
         return out
 
     def lineage(self) -> list[dict]:
         out = []
-        for fn in sorted(os.listdir(self._manifest_dir)):
-            with open(os.path.join(self._manifest_dir, fn)) as f:
-                out.append(json.load(f))
+        for fn in sorted(fs.listdir(self._manifest_dir)):
+            out.append(fs.read_json(os.path.join(self._manifest_dir, fn)))
         return out
 
     def lineage_df(self) -> DataFrame:

@@ -13,8 +13,9 @@ Reference analog: the raw-table + ``_staging`` twin + delete/insert protocol
 atomic (one snapshot pointer swap) instead of two non-atomic DML statements.
 """
 
+from . import fs
 from .catalog import LakeCatalog
 from .table import LakeTable
-from .merge import merge_into
+from .merge import merge_into, replace_groups
 
-__all__ = ["LakeCatalog", "LakeTable", "merge_into"]
+__all__ = ["LakeCatalog", "LakeTable", "merge_into", "replace_groups", "fs"]

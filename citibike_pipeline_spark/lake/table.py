@@ -40,6 +40,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from . import fs
+
 BUCKET_COL = "_bucket"
 
 
@@ -140,8 +142,8 @@ class LakeTable:
         write_salt: int = 4,
     ) -> "LakeTable":
         t = LakeTable(spark, path)
-        os.makedirs(t._data_dir, exist_ok=True)
-        os.makedirs(t._snap_dir, exist_ok=True)
+        fs.makedirs(t._data_dir)
+        fs.makedirs(t._snap_dir)
         snap = Snapshot(
             snapshot_id=0,
             schema_json=json.dumps(schema.jsonValue()),
@@ -156,19 +158,25 @@ class LakeTable:
         return t
 
     def exists(self) -> bool:
-        return os.path.exists(self._version_file)
+        return fs.exists(self._version_file)
+
+    def _abs(self, p: str) -> str:
+        """Resolve a manifest file path: new manifests store paths RELATIVE
+        to the table root (relocatable warehouse); absolute entries from
+        older snapshots still resolve as-is."""
+        return p if os.path.isabs(p) else os.path.join(self.path, p)
 
     # -- snapshot plumbing ---------------------------------------------------
 
     def current_snapshot(self) -> Snapshot:
-        with open(self._version_file) as f:
-            v = f.read().strip()
-        with open(os.path.join(self._snap_dir, f"{v}.json")) as f:
-            return Snapshot.from_json(f.read())
+        v = fs.read_text(self._version_file).strip()
+        return Snapshot.from_json(
+            fs.read_text(os.path.join(self._snap_dir, f"{v}.json"))
+        )
 
     def snapshot_history(self) -> list[int]:
         return sorted(
-            int(p[1:-5]) for p in os.listdir(self._snap_dir) if p.endswith(".json")
+            int(p[1:-5]) for p in fs.listdir(self._snap_dir) if p.endswith(".json")
         )
 
     def _commit(self, snap: Snapshot) -> None:
@@ -179,12 +187,8 @@ class LakeTable:
         does not have* across its DELETE+INSERT pair, staging.py:55-71).
         """
         snap_path = os.path.join(self._snap_dir, f"v{snap.snapshot_id:09d}.json")
-        with open(snap_path, "w") as f:
-            f.write(snap.to_json())
-        tmp = self._version_file + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(f"v{snap.snapshot_id:09d}")
-        os.replace(tmp, self._version_file)
+        fs.write_text(snap_path, snap.to_json())
+        fs.replace_text(self._version_file, f"v{snap.snapshot_id:09d}")
 
     # -- read ----------------------------------------------------------------
 
@@ -199,8 +203,9 @@ class LakeTable:
         if snapshot_id is None:
             snap = self.current_snapshot()
         else:
-            with open(os.path.join(self._snap_dir, f"v{snapshot_id:09d}.json")) as f:
-                snap = Snapshot.from_json(f.read())
+            snap = Snapshot.from_json(
+                fs.read_text(os.path.join(self._snap_dir, f"v{snapshot_id:09d}.json"))
+            )
         schema = snap.schema()
         files = snap.files
         if buckets is not None:
@@ -210,7 +215,7 @@ class LakeTable:
             return empty_df(self.spark, schema)
         # Explicit snapshot schema: files predating an ADD COLUMN evolve by
         # padding typed NULLs at scan time (no rewrite).
-        return self.spark.read.schema(schema).parquet(*[f["path"] for f in files])
+        return self.spark.read.schema(schema).parquet(*[self._abs(f["path"]) for f in files])
 
     def schema(self) -> StructType:
         return self.current_snapshot().schema()
@@ -230,12 +235,23 @@ class LakeTable:
         out = os.path.join(self._data_dir, uuid.uuid4().hex)
         cols = [f.name for f in snap.schema().fields]
         salt = F.pmod(F.xxhash64(*[F.col(c) for c in snap.key_cols]), F.lit(max(snap.write_salt, 1)))
-        (
+        plan = (
             df.select(*cols, bucket_expr(snap.bucket_cols, snap.n_buckets).alias(BUCKET_COL))
             .repartition(F.col(BUCKET_COL), salt)
             .write.partitionBy(BUCKET_COL)
-            .parquet(out, mode="overwrite")
         )
+        # AQE off for the write query only: partition sizing here is fully
+        # explicit (shuffle_partitions + bucket/salt repartition + hot-key
+        # salting), so adaptive re-planning buys nothing and costs a
+        # measurable serial driver pause at every stage boundary (~0.4-0.7 s
+        # per merge at local[8]). Analytics queries keep AQE.
+        sess = df.sparkSession
+        prev = sess.conf.get("spark.sql.adaptive.enabled", "true")
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            plan.parquet(out, mode="overwrite")
+        finally:
+            sess.conf.set("spark.sql.adaptive.enabled", prev)
         import pyarrow.parquet as pq
 
         files: list[dict[str, Any]] = []
@@ -250,8 +266,14 @@ class LakeTable:
                     # parquet footer at commit time, so row counts are a
                     # manifest lookup, never a table scan. Footer reads are
                     # O(files-per-commit) = buckets × salt, driver-side.
+                    # Paths are stored RELATIVE to the table root so the
+                    # warehouse can be relocated / mirrored unchanged.
                     files.append(
-                        {"path": p, "bucket": b, "rows": pq.ParquetFile(p).metadata.num_rows}
+                        {
+                            "path": os.path.relpath(p, self.path),
+                            "bucket": b,
+                            "rows": pq.ParquetFile(p).metadata.num_rows,
+                        }
                     )
         return files
 
@@ -260,8 +282,9 @@ class LakeTable:
         for files committed before per-file stats existed."""
         snap = self.current_snapshot() if snapshot_id is None else None
         if snap is None:
-            with open(os.path.join(self._snap_dir, f"v{snapshot_id:09d}.json")) as f:
-                snap = Snapshot.from_json(f.read())
+            snap = Snapshot.from_json(
+                fs.read_text(os.path.join(self._snap_dir, f"v{snapshot_id:09d}.json"))
+            )
         if any(f.get("rows") is None for f in snap.files):
             return self.read(snapshot_id=snapshot_id).count()
         return sum(int(f["rows"]) for f in snap.files)
@@ -379,12 +402,14 @@ class LakeTable:
         keep_ids = set(history[-keep_last:])
         live: set[str] = set()
         for sid in keep_ids:
-            with open(os.path.join(self._snap_dir, f"v{sid:09d}.json")) as f:
-                live.update(x["path"] for x in Snapshot.from_json(f.read()).files)
+            snap = Snapshot.from_json(
+                fs.read_text(os.path.join(self._snap_dir, f"v{sid:09d}.json"))
+            )
+            live.update(self._abs(x["path"]) for x in snap.files)
         removed = 0
         for sid in history:
             if sid not in keep_ids:
-                os.remove(os.path.join(self._snap_dir, f"v{sid:09d}.json"))
+                fs.remove(os.path.join(self._snap_dir, f"v{sid:09d}.json"))
         for d in list(os.listdir(self._data_dir)):
             root = os.path.join(self._data_dir, d)
             for bdir, _, fns in list(os.walk(root)):

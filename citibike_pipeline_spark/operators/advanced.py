@@ -290,9 +290,122 @@ SELECT node, ROUND(rank, 9) AS rank FROM r3 ORDER BY rank DESC, node LIMIT 20
 Q28_SQL = Q28_SQL.replace("LEFT JOIN r0x r", "LEFT JOIN r2 r")
 
 
+# --------------------------------------------------------------------------
+# q29: spatial enrichment join (J4) ≙ silver_stations.sql:83-86 /
+#      stg_reconstructed_station_metadata.sql:61-66 — points joined into a
+#      broadcast polygon dim by containment (bbox-per-region is the
+#      sanctioned polygon approximation). Physical shape at scale:
+#      BroadcastNestedLoopJoin against a tiny dim — no shuffle of the fact
+#      side at all; misses flow through the left join as 'outside'.
+# --------------------------------------------------------------------------
+
+def q29_spatial_enrichment(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.dims import geo_zones
+
+    c = T(spark, sf, "customer")
+    pts = c.select(
+        "c_custkey",
+        (F.lit(40.5) + (F.col("c_custkey") % 100) / 200.0).alias("lat"),
+        (F.lit(-74.2) + (F.col("c_custkey") % 140) / 250.0).alias("lng"),
+    )
+    z = geo_zones(spark)
+    contained = (
+        (pts["lat"] >= z["lat_min"]) & (pts["lat"] < z["lat_max"])
+        & (pts["lng"] >= z["lng_min"]) & (pts["lng"] < z["lng_max"])
+    )
+    return (
+        pts.join(F.broadcast(z), contained, "left")
+        .groupBy(F.coalesce("zone", F.lit("outside")).alias("zone"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("c_custkey").alias("min_custkey"),
+            F.round(F.avg("lat"), 6).alias("avg_lat"),
+            F.round(F.avg("lng"), 6).alias("avg_lng"),
+        )
+    )
+
+
+def _zones_values_sql() -> str:
+    from ..sources.dims import GEO_ZONE_ROWS
+
+    rows = ", ".join(
+        f"('{z}', {a}, {b}, {c0}, {d})" for z, a, b, c0, d in GEO_ZONE_ROWS
+    )
+    return f"(VALUES {rows}) AS z(zone, lat_min, lat_max, lng_min, lng_max)"
+
+
+Q29_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey,
+         40.5 + (c_custkey % 100) / 200.0 AS lat,
+         -74.2 + (c_custkey % 140) / 250.0 AS lng
+  FROM customer
+)
+SELECT COALESCE(z.zone, 'outside') AS zone,
+       COUNT(*) AS n_points,
+       MIN(c_custkey) AS min_custkey,
+       ROUND(AVG(lat), 6) AS avg_lat,
+       ROUND(AVG(lng), 6) AS avg_lng
+FROM pts LEFT JOIN {_zones_values_sql()}
+  ON pts.lat >= z.lat_min AND pts.lat < z.lat_max
+ AND pts.lng >= z.lng_min AND pts.lng < z.lng_max
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q30: holiday-seed broadcast join into a date spine (J5) ≙
+#      gold_dim_dates.sql:26-28 + generate_holidays.py:8-31 — the seed-dim
+#      enrichment shape: generated spine LEFT JOIN tiny seed, miss -> flag.
+# --------------------------------------------------------------------------
+
+def q30_holiday_spine(spark: SparkSession, sf: str) -> DataFrame:
+    from ..plans.gold import HOLIDAY_YEARS
+    from ..sources.dims import holidays
+
+    ev = T(spark, sf, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(F.explode(F.sequence("d0", "d1")).alias("date_key"))
+    hol = holidays(spark, HOLIDAY_YEARS)
+    return spine.join(F.broadcast(hol), on="date_key", how="left").select(
+        "date_key",
+        F.col("holiday_name").isNotNull().alias("is_holiday"),
+        "holiday_name",
+    )
+
+
+def _holiday_values_sql() -> str:
+    from ..plans.gold import HOLIDAY_YEARS
+    from ..sources.dims import holiday_rows
+
+    rows = ", ".join(
+        f"(DATE '{d.isoformat()}', '{n}')" for d, n in holiday_rows(HOLIDAY_YEARS)
+    )
+    return f"(VALUES {rows}) AS h(date_key, holiday_name)"
+
+
+Q30_SQL = f"""
+WITH bounds AS (
+  SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM events
+),
+spine AS (
+  SELECT CAST(u.d AS DATE) AS date_key
+  FROM bounds, UNNEST(generate_series(bounds.d0, bounds.d1, INTERVAL 1 DAY)) AS u(d)
+)
+SELECT spine.date_key,
+       h.holiday_name IS NOT NULL AS is_holiday,
+       h.holiday_name
+FROM spine LEFT JOIN {_holiday_values_sql()} ON spine.date_key = h.date_key
+"""
+
+
 ADVANCED = {
     "q25_reconstructed_ids": (q25_reconstructed_ids, Q25_SQL),
     "q26_grouped_apply_stats": (q26_grouped_apply_stats, Q26_SQL),
     "q27_sessionization": (q27_sessionization, Q27_SQL),
     "q28_pagerank": (q28_pagerank, Q28_SQL),
+    "q29_spatial_enrichment": (q29_spatial_enrichment, Q29_SQL),
+    "q30_holiday_spine": (q30_holiday_spine, Q30_SQL),
 }

@@ -26,7 +26,22 @@ from .io import T
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
 LANGS = ["en", "fr", "es", "de", "zh"]
-MINHASH_K = 8  # one-hash bands: pairs sharing >=2 signature slots
+
+# Banded MinHash-LSH parameters (b bands × r rows = b*r hash functions).
+# Candidate recall for a pair with Jaccard similarity s is
+#     P(candidate) = 1 - (1 - s^r)^b
+# — the standard S-curve (Leskovec/Rajaraman/Ullman, MMDS ch.3). With the
+# defaults b=4, r=2: s=0.9 → 0.9987, s=0.5 → 0.68, s=0.2 → 0.15, so true
+# near-dups are almost always candidates while dissimilar pairs rarely
+# collide. At 100 TB, raise r (sharper knee ⇒ fewer false candidates) and b
+# (recovers recall); both are plumb-through parameters below, and bucket
+# sizes stay bounded by band selectivity, not corpus size.
+MINHASH_B = 4
+MINHASH_R = 2
+
+# SimHash width in bits (2^bits buckets). 8 suits sf0.01's 500 docs; at
+# corpus scale use 64 (xxhash64 variant) — a parameter, not a rewrite.
+SIMHASH_BITS = 8
 
 
 def _words(col="text"):
@@ -189,14 +204,19 @@ FROM fps GROUP BY fingerprint HAVING COUNT(*) >= 1
 
 
 # --------------------------------------------------------------------------
-# d05: MinHash + LSH near-dup candidate pairs
-# signature slot s = min over word-2gram shingles of md5(s || '|' || shingle);
-# candidates = doc pairs sharing >= 2 of MINHASH_K slots.
+# d05: banded MinHash-LSH near-dup candidate pairs.
+# signature slot k = min over word-2gram shingles of md5(k || '|' || shingle);
+# band i's key = md5 of slots [i*r, (i+1)*r); candidates = pairs sharing >= 1
+# band key (the standard b×r AND-OR construction — see the recall S-curve in
+# the module constants).
 # --------------------------------------------------------------------------
 
-def d05_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+def d05_minhash_lsh_pairs(
+    spark: SparkSession, sf: str, b: int = MINHASH_B, r: int = MINHASH_R
+) -> DataFrame:
     docs = T(spark, sf, "documents")
-    # stage 1: shingle once into a column (the 8 signature mins all reference
+    k = b * r
+    # stage 1: shingle once into a column (the signature mins all reference
     # it instead of re-deriving the split+transform per hash)
     shingled = docs.select("doc_id", _word_bigrams().alias("sh"))
 
@@ -207,46 +227,55 @@ def d05_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
             F.transform(F.col("sh"), lambda g: F.md5(F.concat(F.lit(prefix), g)))
         )
 
-    sig_cols = [minhash(s).alias(f"mh{s}") for s in range(MINHASH_K)]
+    sig_cols = [minhash(s).alias(f"mh{s}") for s in range(k)]
     # materialize the signature table: the LSH self-join probes it twice and
     # at scale you persist signatures anyway (they're the dedup index)
     sigs = shingled.select("doc_id", *sig_cols).persist()
-    # explode to (band, value, doc) and pair within buckets — the LSH shuffle
+    # AND within a band: the band key hashes r consecutive slots together
+    def band_key(i: int):
+        return F.md5(F.concat_ws("|", *[F.col(f"mh{i * r + j}") for j in range(r)]))
+
+    # explode to (band, key, doc) and pair within buckets — the LSH shuffle
     bands = sigs.select(
         "doc_id",
         F.explode(
             F.array(*[
-                F.struct(F.lit(s).alias("band"), F.col(f"mh{s}").alias("val"))
-                for s in range(MINHASH_K)
+                F.struct(F.lit(i).alias("band"), band_key(i).alias("val"))
+                for i in range(b)
             ])
         ).alias("b"),
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
-    a, b = bands.alias("a"), bands.alias("b")
+    lhs, rhs = bands.alias("a"), bands.alias("b")
     pairs = (
-        a.join(
-            b,
+        lhs.join(
+            rhs,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.val") == F.col("b.val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        # OR across bands: >=1 shared band makes a candidate; the groupBy
+        # dedups pairs colliding in several bands
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
-        .filter(F.col("n_shared_bands") >= 2)
     )
     return pairs
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(b: int = MINHASH_B, r: int = MINHASH_R) -> str:
+    k = b * r
     shingles = (
         "list_transform(generate_series(1, GREATEST(len(string_split(text,' '))-1,1)), "
         "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])"
     )
     sig = ", ".join(
         f"list_min(list_transform({shingles}, g -> md5('{s}|' || g))) AS mh{s}"
-        for s in range(MINHASH_K)
+        for s in range(k)
     )
+    def band_key(i):
+        return "md5(" + " || '|' || ".join(f"mh{i * r + j}" for j in range(r)) + ")"
+
     unions = " UNION ALL ".join(
-        f"SELECT doc_id, {s} AS band, mh{s} AS val FROM sigs" for s in range(MINHASH_K)
+        f"SELECT doc_id, {i} AS band, {band_key(i)} AS val FROM sigs" for i in range(b)
     )
     return f"""
 WITH sigs AS (SELECT doc_id, {sig} FROM documents),
@@ -254,7 +283,7 @@ bands AS ({unions})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
-GROUP BY 1, 2 HAVING COUNT(*) >= 2
+GROUP BY 1, 2
 """
 
 
@@ -262,11 +291,12 @@ D05_SQL = _minhash_sql()
 
 
 # --------------------------------------------------------------------------
-# d06: SimHash (8-bit) near-dup buckets — per-bit majority vote over token
-# hashes; expressed as one aggregate per bit (all JVM-side)
+# d06: SimHash near-dup buckets — per-bit majority vote over token hashes;
+# expressed as one aggregate per bit (all JVM-side). Width is a parameter
+# (2^bits buckets): 8 at test SF, 64 at corpus scale.
 # --------------------------------------------------------------------------
 
-def d06_simhash(spark: SparkSession, sf: str) -> DataFrame:
+def d06_simhash(spark: SparkSession, sf: str, bits: int = SIMHASH_BITS) -> DataFrame:
     docs = T(spark, sf, "documents")
     w = _words()
     # bit j of a token = high bit of hex nibble j+1 of md5(token)
@@ -282,7 +312,7 @@ def d06_simhash(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     simhash = sum(
-        (F.when(bit_sum(j) > 0, F.lit(2 ** j)).otherwise(F.lit(0)) for j in range(8)),
+        (F.when(bit_sum(j) > 0, F.lit(2 ** j)).otherwise(F.lit(0)) for j in range(bits)),
         start=F.lit(0),
     )
     hashed = docs.select("doc_id", simhash.alias("simhash"))
@@ -291,7 +321,7 @@ def d06_simhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _simhash_sql() -> str:
+def _simhash_sql(bits: int = SIMHASH_BITS) -> str:
     def bit(j):
         return (
             "CASE WHEN list_sum(list_transform(string_split(text,' '), "
@@ -299,7 +329,7 @@ def _simhash_sql() -> str:
             f"THEN 1 ELSE -1 END)) > 0 THEN {2 ** j} ELSE 0 END"
         )
 
-    expr = " + ".join(bit(j) for j in range(8))
+    expr = " + ".join(bit(j) for j in range(bits))
     return f"""
 WITH hashed AS (SELECT doc_id, {expr} AS simhash FROM documents)
 SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id

@@ -24,7 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.dims import tool_catalog
+from ..sources.dims import holidays, tool_catalog
+
+# Holiday seed coverage — generous fixed span so the dim is a pure constant
+# (≙ generate_holidays.py's fixed generation window); 4 rows/year, always
+# broadcast.
+HOLIDAY_YEARS = list(range(2000, 2041))
 
 
 def gold_conv_stats(silver: DataFrame) -> DataFrame:
@@ -90,7 +95,7 @@ def gold_quality_flags(silver: DataFrame) -> DataFrame:
 
 
 def _date_attrs(spine: DataFrame) -> DataFrame:
-    return spine.select(
+    attrs = spine.select(
         "date_key",
         F.year("date_key").alias("year"),
         F.quarter("date_key").alias("quarter"),
@@ -100,6 +105,13 @@ def _date_attrs(spine: DataFrame) -> DataFrame:
         F.date_format("date_key", "MMMM").alias("month_name"),
         F.date_format("date_key", "EEEE").alias("day_name"),
         F.dayofweek("date_key").isin(1, 7).alias("is_weekend"),
+    )
+    # broadcast seed left join + miss flag ≙ gold_dim_dates.sql:26-28
+    hol = holidays(attrs.sparkSession, HOLIDAY_YEARS)
+    return attrs.join(F.broadcast(hol), on="date_key", how="left").select(
+        attrs["*"],
+        F.col("holiday_name").isNotNull().alias("is_holiday"),
+        "holiday_name",
     )
 
 

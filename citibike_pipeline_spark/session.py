@@ -71,6 +71,13 @@ def get_spark(
         # inverts scaling measurements). 32g over 32 slots ≈ 1g/task.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Task-side output commit (committer v2): task files move to the
+        # final dir at task commit instead of a serial driver rename pass at
+        # job commit — measured ~0.3-0.5 s off every merge's serial tail.
+        # Safe here: readers only see files the snapshot manifest lists, so
+        # a failed job's stray files are invisible (the manifest IS the
+        # atomicity boundary, not the committer).
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

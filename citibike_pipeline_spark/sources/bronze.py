@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from ..lake import fs
+
 
 class BronzeLog:
     def __init__(self, spark: SparkSession, path: str):
@@ -37,17 +39,13 @@ class BronzeLog:
         return log
 
     def exists(self) -> bool:
-        return os.path.exists(self._schema_file)
+        return fs.exists(self._schema_file)
 
     def _write_schema(self, schema: StructType) -> None:
-        tmp = self._schema_file + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(schema.jsonValue(), f)
-        os.replace(tmp, self._schema_file)
+        fs.write_json_atomic(self._schema_file, schema.jsonValue())
 
     def schema(self) -> StructType:
-        with open(self._schema_file) as f:
-            return StructType.fromJson(json.load(f))
+        return StructType.fromJson(fs.read_json(self._schema_file))
 
     def evolve_schema(self, new_schema: StructType) -> None:
         """Forward-only evolution: new columns appended, none dropped."""
@@ -95,19 +93,17 @@ class BronzeLog:
             .limit(20)
             .collect()
         ]
-        tmp = os.path.join(out, f"_stats.json.tmp.{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump({"partitions": parts, "top_convs": top}, f)
-        os.replace(tmp, os.path.join(out, "_stats.json"))
+        fs.write_json_atomic(
+            os.path.join(out, "_stats.json"), {"partitions": parts, "top_convs": top}
+        )
 
     def epoch_stats(self, epoch: int) -> dict | None:
         """Landing-time stats: {"partitions": [...], "top_convs": [...]}, or
         None for epochs landed before stats existed (caller recomputes)."""
         p = os.path.join(self.path, f"epoch={epoch}", "_stats.json")
-        if not os.path.exists(p):
+        if not fs.exists(p):
             return None
-        with open(p) as f:
-            d = json.load(f)
+        d = fs.read_json(p)
         if isinstance(d, list):  # legacy format: partitions only
             return {"partitions": d, "top_convs": None}
         return d

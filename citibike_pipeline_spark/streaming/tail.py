@@ -29,6 +29,11 @@ from ..cdc.engine import CdcEngine, _EVENT_META, _atomic_write_json
 from ..cdc.reconcile import reconcile_to_schema
 from ..lake import merge_into
 
+# Sentinel message raised by _apply_batch when the running query's source
+# schema has fallen behind bronze's evolved schema; the supervisor loop
+# matches on it and restarts the query with the re-resolved schema.
+SCHEMA_EVOLVED_MARKER = "STREAM_SOURCE_SCHEMA_EVOLVED_RESTART"
+
 
 class StreamingTail:
     def __init__(self, engine: CdcEngine, max_files_per_trigger: int = 8):
@@ -50,6 +55,19 @@ class StreamingTail:
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if self._batch_done(batch_id):
             return
+        # Schema-evolution guard: the stream source captured the bronze
+        # schema at query START, so after a v1->v2 evolution an always-on
+        # query keeps reading newly-landed files with the STALE schema and
+        # silently drops the new column's payload. Detect staleness per batch
+        # and fail the batch BEFORE the streaming checkpoint commits it — the
+        # restart (run_available's loop / the always-on supervisor) rebuilds
+        # the source with the re-resolved schema and the checkpoint
+        # re-delivers this exact batch, now correctly typed. Pre-evolution
+        # files re-read under the wider schema pad typed NULLs (same as the
+        # lake read), so the conservative restart never corrupts anything.
+        cur_cols = {f.name for f in self.engine.bronze.schema().fields}
+        if {f.name for f in batch_df.schema.fields} < cur_cols:
+            raise RuntimeError(SCHEMA_EVOLVED_MARKER)
         silver = self.engine.silver
         # schema evolution mid-stream: new payload columns -> silver ADD COLUMN
         from pyspark.sql.types import StructField
@@ -75,21 +93,36 @@ class StreamingTail:
         stats = merge_into(silver, changes, resolver=self.engine._lww_resolver())
         self._mark_batch(batch_id, stats)
 
-    def run_available(self) -> None:
+    def run_available(self, max_restarts: int = 4, _initial_schema=None) -> None:
         """Process everything currently landed, then stop (Trigger.AvailableNow)
-        — the test/cron mode; omit availableNow for an always-on tail."""
+        — the test/cron mode; omit availableNow for an always-on tail.
+
+        Restarts the query (fresh source, re-resolved bronze schema, same
+        checkpoint) when a batch detects mid-stream schema evolution; the
+        failed batch was not committed, so it is re-delivered correctly
+        typed. ``_initial_schema`` exists for tests to simulate a query that
+        started before the evolution."""
         spark = self.engine.spark
         bronze = self.engine.bronze
-        stream = (
-            spark.readStream.schema(bronze.schema())
-            .option("maxFilesPerTrigger", self.max_files)
-            .option("recursiveFileLookup", "true")
-            .parquet(bronze.path)
-        )
-        q = (
-            stream.writeStream.foreachBatch(self._apply_batch)
-            .option("checkpointLocation", self._ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        schema = _initial_schema or bronze.schema()
+        for _ in range(max_restarts + 1):
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", self.max_files)
+                .option("recursiveFileLookup", "true")
+                .parquet(bronze.path)
+            )
+            q = (
+                stream.writeStream.foreachBatch(self._apply_batch)
+                .option("checkpointLocation", self._ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination()
+                return
+            except Exception as e:  # StreamingQueryException wraps the marker
+                if SCHEMA_EVOLVED_MARKER not in str(e):
+                    raise
+                schema = bronze.schema()
+        raise RuntimeError("streaming tail: schema kept evolving past max_restarts")

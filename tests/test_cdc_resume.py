@@ -133,9 +133,26 @@ def test_compact_preserves_live_state(spark, tmp_path):
     eng = new_engine(spark, tmp_path, "wh_compact")
     eng.replay()
     before = silver_pdf(eng)
+    n_tomb = eng.silver.read().filter("op = 'D'").count()
+    assert n_tomb > 0
+
+    # no watermark -> tombstones RETAINED (a purge without a redelivery
+    # bound could let a late old-LSN event resurrect a deleted key)
     eng.compact()
     pd.testing.assert_frame_equal(silver_pdf(eng), before)
-    # tombstones gone from the physical table
+    assert eng.silver.read().filter("op = 'D'").count() == n_tomb
+
+    # watermark below some tombstones -> only the safe prefix is purged
+    mid = eng.silver.read().filter("op = 'D'").agg({"lsn": "avg"}).collect()[0][0]
+    eng.compact(watermark_lsn=int(mid))
+    left = eng.silver.read().filter("op = 'D'")
+    assert 0 < left.count() < n_tomb
+    assert left.filter(f"lsn <= {int(mid)}").count() == 0
+    pd.testing.assert_frame_equal(silver_pdf(eng), before)
+
+    # watermark above every lsn -> all tombstones gone, live state intact
+    eng.compact(watermark_lsn=10**15)
+    pd.testing.assert_frame_equal(silver_pdf(eng), before)
     assert eng.silver.read().filter("op = 'D'").count() == 0
 
 
@@ -146,3 +163,28 @@ def test_lineage_df_queryable(spark, tmp_path):
     assert ldf.count() > 0
     agg = ldf.groupBy("checkpoint_epoch").count().collect()
     assert len(agg) == CFG.n_epochs
+
+
+def test_late_landing_epoch_below_checkpoint_is_replayed(spark, tmp_path):
+    """A WAL epoch directory that lands AFTER a later epoch was already
+    applied (out-of-order landing) must still be replayed: pending-ness is
+    manifest-derived, not checkpoint-derived, so nothing below the
+    checkpoint can be silently lost."""
+    eng = CdcEngine(spark, str(tmp_path / "wh_gap"), n_buckets=4, write_salt=2)
+    eng.init_tables()
+    # land epochs 0, 2, 3 — epoch 1 is delayed
+    for e in [0, 2, 3]:
+        eng.ingest_epoch_pandas(generate_epoch(CFG, e), e)
+    eng.replay()
+    assert eng.checkpoint()["last_epoch"] == 3
+
+    # epoch 1 lands late, below the checkpoint
+    eng.ingest_epoch_pandas(generate_epoch(CFG, 1), 1)
+    metrics = eng.replay(catchup=False)
+    assert [m["epoch"] for m in metrics] == [1]
+    # checkpoint never regresses
+    assert eng.checkpoint()["last_epoch"] == 3
+    # final state equals the full-corpus oracle (LWW order-independence)
+    pd.testing.assert_frame_equal(silver_pdf(eng), oracle_pdf(), check_dtype=False)
+    # and a further replay is a no-op
+    assert eng.replay() == []

@@ -159,3 +159,38 @@ def test_merge_prune_disabled_full_rewrite(spark, cat):
     merge_into(t, changes, prune_buckets=False)
     got = {(r.k, r.v) for r in t.read().collect()}
     assert got == {("a", "new"), ("b", "keep"), ("c", "ins")}
+
+
+def test_warehouse_relocation(spark, tmp_path):
+    """Manifests store table-relative data paths, so a warehouse directory
+    copied to a new location (or another store) opens unchanged — the
+    object-store portability contract (lake.fs module docstring)."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+    from citibike_pipeline_spark.lake import LakeCatalog
+
+    src = str(tmp_path / "wh_src")
+    cat = LakeCatalog(spark, src)
+    t = cat.create_table(
+        "ns.reloc", StructType.fromDDL("k int, v string"),
+        key_cols=["k"], n_buckets=4, write_salt=1,
+    )
+    df = spark.range(100).select(
+        F.col("id").cast("int").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    t.overwrite(df)
+    before = sorted((r.k, r.v) for r in t.read().collect())
+
+    dst = str(tmp_path / "wh_dst")
+    _sh.copytree(src, dst)
+    _sh.rmtree(src)  # prove nothing still points at the old location
+
+    t2 = LakeCatalog(spark, dst).load_table("ns.reloc")
+    assert sorted((r.k, r.v) for r in t2.read().collect()) == before
+    assert t2.row_count() == 100
+    # and the relocated table still accepts commits
+    t2.append(spark.range(100, 110).select(
+        F.col("id").cast("int").alias("k"), F.lit("x").alias("v")))
+    assert t2.row_count() == 110

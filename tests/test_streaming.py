@@ -55,3 +55,31 @@ def test_streaming_restart_is_noop(streamed):
     tail.run_available()  # restart on the same checkpoint: nothing new
     assert eng.silver.current_snapshot().snapshot_id == sid
     pd.testing.assert_frame_equal(silver_pdf(eng), before)
+
+
+def test_stale_source_schema_restarts_and_keeps_evolved_column(spark, tmp_path):
+    """An always-on stream captures the bronze schema at query start; files
+    landed after a v1->v2 evolution would be read with the STALE schema,
+    silently dropping the new column. The tail must detect this, fail the
+    uncommitted batch, restart with the re-resolved schema, and converge to
+    full parity — no payload loss."""
+    from citibike_pipeline_spark.cdc.schemas import EVENT_SCHEMA_V1
+
+    wh = str(tmp_path / "wh_stale")
+    eng = CdcEngine(spark, wh, n_buckets=4, write_salt=2)
+    eng.init_tables()
+    # epoch 0 pre-evolution, epochs 1-2 post-evolution (have `tool`)
+    for e in range(CFG.n_epochs):
+        eng.ingest_epoch_pandas(generate_epoch(CFG, e), e)
+
+    tail = StreamingTail(eng, max_files_per_trigger=4)
+    # simulate a query that started before the evolution: force the stale
+    # v1 source schema; the supervisor must restart with the evolved one
+    tail.run_available(_initial_schema=EVENT_SCHEMA_V1)
+
+    want = expected_silver(generate_corpus_pandas(CFG))
+    want["ts"] = want["ts"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(
+        silver_pdf(eng), want[COLS].reset_index(drop=True), check_dtype=False
+    )
+    assert eng.silver_view().filter("tool IS NOT NULL").count() > 0

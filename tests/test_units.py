@@ -6,7 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
-from citibike_pipeline_spark.cdc.dedup import lww_dedup
+from citibike_pipeline_spark.cdc.dedup import lww_dedup, lww_dedup_agg
 from citibike_pipeline_spark.cdc.generator import GenConfig, generate_epoch
 from citibike_pipeline_spark.cdc.reconcile import (
     SchemaDriftError,
@@ -45,6 +45,30 @@ def test_lww_dedup_matrix(spark):
     assert winners["c3"] == (7, "U", "u-wins")
     assert winners["c4"] == (4, "D", None)
     assert len(out) == 4  # exactly one row per key
+
+
+def test_lww_agg_kernel_equals_window_kernel(spark):
+    """The max_by hash-aggregate LWW (merge hot path) must pick the exact
+    same winners as the documented ROW_NUMBER window idiom, including LSN
+    ties broken by op_rank and a generator corpus with redeliveries."""
+    rows = [
+        (1, "I", "c1", 0, "a"), (5, "U", "c1", 0, "b"), (3, "U", "c1", 0, "c"),
+        (1, "I", "c2", 0, "x"), (2, "D", "c2", 0, None), (9, "I", "c2", 0, "y"),
+        (7, "D", "c3", 0, None), (7, "U", "c3", 0, "u-wins"), (7, "I", "c3", 0, "i"),
+        (4, "D", "c4", 0, None),
+    ]
+    df = spark.createDataFrame(rows, EV)
+    w = {tuple(r) for r in lww_dedup(df).collect()}
+    a = {tuple(r) for r in lww_dedup_agg(df).collect()}
+    assert a == w
+
+    cfg = GenConfig(n_convs=25, n_epochs=2, events_per_epoch=2000, n_hot=1)
+    pdf0, pdf1 = generate_epoch(cfg, 0), generate_epoch(cfg, 1)
+    ev = spark.createDataFrame(pdf0).unionByName(spark.createDataFrame(pdf1))
+    ev = ev.select("lsn", "op", "conv_id", "turn_idx", "text")
+    w = {tuple(r) for r in lww_dedup(ev).collect()}
+    a = {tuple(r) for r in lww_dedup_agg(ev).collect()}
+    assert a == w
 
 
 def test_lww_order_independence(spark):
