@@ -110,9 +110,13 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=2, help="low parallelism (N)")
     ap.add_argument("--n4", type=int, default=8, help="high parallelism (4N)")
     ap.add_argument("--cooldown", type=int, default=20)
+    ap.add_argument("--reuse-template", action="store_true",
+                    help="skip corpus generation if the template warehouse exists "
+                         "(must match --events/--epochs)")
     args = ap.parse_args()
 
-    prep(args.events, args.epochs)
+    if not (args.reuse_template and os.path.exists(TEMPLATE)):
+        prep(args.events, args.epochs)
 
     runs: list[dict] = []
     for rep in range(args.reps):

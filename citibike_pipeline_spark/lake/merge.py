@@ -127,6 +127,7 @@ def replace_groups(
     groups: DataFrame,
     new_rows: DataFrame,
     summary: dict | None = None,
+    touched_buckets: list[int] | None = None,
 ) -> dict:
     """Group-scoped refresh MERGE: atomically replace the table's contents for
     the given key-groups with ``new_rows`` (the freshly computed state of
@@ -153,12 +154,17 @@ def replace_groups(
     groups = groups.select(*group_cols).distinct().persist()
     try:
         t0 = time.time()
-        touched = [
-            r[0]
-            for r in groups.select(bucket_expr(snap.bucket_cols, snap.n_buckets))
-            .distinct()
-            .collect()
-        ]
+        if touched_buckets is not None:
+            # caller pre-computed the bucket set (tables sharing a bucket
+            # spec can reuse ONE collect across several replace_groups)
+            touched = list(touched_buckets)
+        else:
+            touched = [
+                r[0]
+                for r in groups.select(bucket_expr(snap.bucket_cols, snap.n_buckets))
+                .distinct()
+                .collect()
+            ]
         t_touched = time.time() - t0
         if not touched:
             return {"buckets_touched": 0, "snapshot_id": snap.snapshot_id}

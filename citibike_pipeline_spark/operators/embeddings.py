@@ -287,9 +287,120 @@ FROM cent GROUP BY label
 """
 
 
+# --------------------------------------------------------------------------
+# e05: IVF query path — the scale-side ANN search completing e04's training
+# step. Queries score the (tiny, broadcast) centroid table, probe only the
+# NPROBE nearest inverted lists, and run exact cosine ONLY inside those
+# lists. At corpus scale the candidate set is |corpus| * nprobe / nlists —
+# the probed-list join is an equi-join on the list key, so the fact side
+# shuffles once on `label` and untouched lists are never read (with the
+# corpus stored list-partitioned, they're pruned at the scan).
+# --------------------------------------------------------------------------
+
+NPROBE = 3
+
+
+def _centroids(emb: DataFrame) -> DataFrame:
+    """Full-vector per-label centroid (array<double>), deterministic: decimal
+    sums per dim, reassembled in dim order."""
+    dims = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    cent = dims.groupBy("label", "dim").agg(
+        (F.sum(F.col("v").cast("decimal(28,12)")).cast("double") / F.count(F.lit(1))).alias("c")
+    )
+    return cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+
+
+def e05_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = T(spark, sf, "embeddings")
+    cents = _centroids(emb)
+    q = emb.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    # coarse quantizer: rank centroid lists per query, keep NPROBE
+    scored_lists = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qe", "label",
+        _cosine(
+            F.transform("qe", lambda x: x.cast("double")), F.col("centroid")
+        ).alias("csim"),
+    )
+    wl = Window.partitionBy("query_id").orderBy(F.desc("csim"), "label")
+    probed = (
+        scored_lists.withColumn("lrank", F.row_number().over(wl))
+        .filter(F.col("lrank") <= NPROBE)
+        .select("query_id", "qe", "label")
+    )
+    # fine search: exact cosine only within probed lists
+    cand = emb.select(F.col("vec_id").alias("neighbor_id"), "label", "embedding")
+    scored = (
+        cand.join(F.broadcast(probed), on="label")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            _cosine(F.col("qe"), F.col("embedding")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+_SQL_COS_QC = (
+    f"list_sum(list_transform(generate_series(1, {DIMS}), "
+    f"i -> CAST(q.embedding[i] AS DOUBLE) * c.centroid[i])) / "
+    f"({_SQL_NORM_Q} * sqrt(list_sum(list_transform(generate_series(1, {DIMS}), "
+    f"i -> c.centroid[i] * c.centroid[i]))))"
+)
+
+E05_SQL = f"""
+WITH dims AS (
+  SELECT label, i - 1 AS dim, embedding[i] AS v
+  FROM embeddings, generate_series(1, {DIMS}) t(i)
+),
+cent AS (
+  SELECT label, dim,
+         CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+  FROM dims GROUP BY label, dim
+),
+cents AS (
+  SELECT label, list(c ORDER BY dim) AS centroid FROM cent GROUP BY label
+),
+probed AS (
+  SELECT query_id, label FROM (
+    SELECT q.vec_id AS query_id, c.label,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_SQL_COS_QC} DESC, c.label
+           ) AS lrank
+    FROM embeddings q CROSS JOIN cents c
+    WHERE q.vec_id < {N_QUERY}
+  ) WHERE lrank <= {NPROBE}
+)
+SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS sim FROM (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         {_SQL_DOT} / ({_SQL_NORM_Q} * {_SQL_NORM_C}) AS sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.query_id
+           ORDER BY {_SQL_DOT} / ({_SQL_NORM_Q} * {_SQL_NORM_C}) DESC, c.vec_id
+         ) AS rank
+  FROM probed p
+  JOIN embeddings c ON c.label = p.label
+  JOIN embeddings q ON q.vec_id = p.query_id
+  WHERE c.vec_id != p.query_id
+) WHERE rank <= {TOP_K}
+"""
+
+
 EMBEDDINGS = {
     "e01_cosine_topk": (e01_cosine_topk, E01_SQL),
     "e02_lsh_buckets": (e02_lsh_buckets, E02_SQL),
     "e03_neardup_pairs": (e03_neardup_pairs, E03_SQL),
     "e04_label_centroids": (e04_label_centroids, E04_SQL),
+    "e05_ivf_topk": (e05_ivf_topk, E05_SQL),
 }

@@ -93,10 +93,17 @@ def d02_token_stats(spark: SparkSession, sf: str) -> DataFrame:
         + (F.lit(1.0) - n_stop.cast("double") / n_tokens) * 0.5,
         6,
     )
+    # BPE-ish subword proxy: letter runs, digit runs, and single punctuation
+    # marks each count as a token (the pre-tokenization regex most BPE
+    # vocabularies apply before merges). Identical Java/DuckDB regex subset.
+    bpe_tokens = F.size(
+        F.expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)")
+    )
     return docs.select(
         "doc_id",
         F.length("text").alias("n_chars"),
         n_tokens.alias("n_tokens"),
+        bpe_tokens.alias("n_bpe_tokens"),
         F.size(F.array_distinct(w)).alias("n_unique_tokens"),
         n_stop.alias("n_stopwords"),
         stop_ratio.alias("stopword_ratio"),
@@ -108,6 +115,7 @@ D02_SQL = """
 SELECT doc_id,
        length(text) AS n_chars,
        len(string_split(text, ' ')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
        len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
        len(list_filter(string_split(text, ' '),
            t -> t IN ('the','a','of','and','to','in','is','on','for','with'))) AS n_stopwords,

@@ -290,14 +290,21 @@ def refresh_gold(engine, touched_convs: DataFrame) -> dict:
     stats_out: dict[str, int] = {}
     counts_out: dict[str, int] = {}
     try:
-        # one bucket-pruned silver read feeds all conv-scoped recomputes
+        # ONE job computes the touched buckets for every bucket spec in play
+        # (silver's and the shared gold spec) — replace_groups then reuses
+        # the precomputed sets instead of collecting per table.
         ssnap = engine.silver.current_snapshot()
-        sbuckets = [
-            r[0]
-            for r in touched.select(bucket_expr(ssnap.bucket_cols, ssnap.n_buckets))
+        g_spec = engine.catalog.load_table(_CONV_SCOPED[0]).current_snapshot()
+        both = (
+            touched.select(
+                bucket_expr(ssnap.bucket_cols, ssnap.n_buckets).alias("sb"),
+                bucket_expr(g_spec.bucket_cols, g_spec.n_buckets).alias("gb"),
+            )
             .distinct()
             .collect()
-        ]
+        )
+        sbuckets = sorted({r["sb"] for r in both})
+        gbuckets = sorted({r["gb"] for r in both})
         silver_touched = (
             engine.silver.read(buckets=sbuckets)
             .filter(F.col("op") != "D")
@@ -308,7 +315,18 @@ def refresh_gold(engine, touched_convs: DataFrame) -> dict:
         try:
             for name, df in _conv_plans(silver_touched).items():
                 t = engine.catalog.load_table(name)
-                st = replace_groups(t, ["conv_id"], touched, df, summary={"gold": name})
+                tsnap = t.current_snapshot()
+                # the precomputed set is valid only for the shared spec
+                pre = (
+                    gbuckets
+                    if (tsnap.n_buckets, tsnap.bucket_cols)
+                    == (g_spec.n_buckets, g_spec.bucket_cols)
+                    else None
+                )
+                st = replace_groups(
+                    t, ["conv_id"], touched, df,
+                    summary={"gold": name}, touched_buckets=pre,
+                )
                 stats_out[name] = st["buckets_touched"]
                 counts_out[name] = t.row_count()
 

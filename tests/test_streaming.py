@@ -3,6 +3,7 @@ restarts idempotently from the stream checkpoint."""
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from citibike_pipeline_spark.cdc import CdcEngine
 from citibike_pipeline_spark.cdc.generator import GenConfig, generate_corpus_pandas, generate_epoch
@@ -83,3 +84,41 @@ def test_stale_source_schema_restarts_and_keeps_evolved_column(spark, tmp_path):
         silver_pdf(eng), want[COLS].reset_index(drop=True), check_dtype=False
     )
     assert eng.silver_view().filter("tool IS NOT NULL").count() > 0
+
+
+def test_stateful_conv_progress(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator: per-conversation
+    running aggregates over the WAL stream, upserted into a lake table.
+    Final state must equal the batch groupBy over all of bronze, and a
+    restart on the same checkpoint must be a no-op."""
+    from citibike_pipeline_spark.streaming.stateful import StreamingConvProgress
+
+    wh = str(tmp_path / "wh_stateful")
+    eng = CdcEngine(spark, wh, n_buckets=4, write_salt=1)
+    eng.init_tables()
+    for e in range(CFG.n_epochs):
+        eng.ingest_epoch_pandas(generate_epoch(CFG, e), e)
+
+    sp = StreamingConvProgress(eng)
+    sp.run_available()
+
+    got = {
+        r.conv_id: (r.n_events, r.max_lsn, r.n_deletes)
+        for r in sp.progress().collect()
+    }
+    want = {
+        r.conv_id: (r.n_events, r.max_lsn, r.n_deletes)
+        for r in eng.bronze.read_epochs(0, CFG.n_epochs)
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("lsn").alias("max_lsn"),
+            F.count(F.when(F.col("op") == "D", 1)).alias("n_deletes"),
+        )
+        .collect()
+    }
+    assert got == want
+
+    sid = eng.catalog.load_table(sp.TABLE).current_snapshot().snapshot_id
+    sp.run_available()  # restart: stream checkpoint short-circuits
+    assert eng.catalog.load_table(sp.TABLE).current_snapshot().snapshot_id == sid
