@@ -8,23 +8,28 @@ Per-epoch dataflow (`apply_epoch`)::
     bronze.read_epoch(e)                       -- directory-pruned scan
       |> skip partitions already in manifest   -- exactly-once fast path
       |> reconcile to silver superset schema   -- typed-NULL padding (evolution)
-      |> MERGE INTO silver, LWW resolver       -- ONE window over
-      |                                           (target ∪ events) resolves
-      |                                           duplicates, redeliveries and
-      |                                           cross-epoch LWW in a single
-      |                                           shuffle, then the salted
+      |> MERGE INTO silver, LWW resolver       -- ONE max_by hash aggregate
+      |                                           over (target ∪ events)
+      |                                           resolves duplicates,
+      |                                           redeliveries and cross-epoch
+      |                                           LWW in a single shuffle (map-
+      |                                           side partial collapse, no
+      |                                           sort), then the salted
       |                                           bucketed write on hash(conv_id)
       |> write commit manifests (epoch, partition_id) + lineage stats
       |                                           (stats recorded at landing)
       |> advance checkpoint, append metrics
 
 Shuffle accounting (scale design): exactly ONE key shuffle per merge — the
-LWW-resolve window over (target ∪ events) on the full (conv_id, turn_idx)
-key — plus the salted write repartition (hash(conv_id) buckets, hot
+LWW-resolve max_by aggregate over (target ∪ events) on the full
+(conv_id, turn_idx) key, with map-side partial aggregation collapsing
+duplicates BEFORE the exchange (shuffle volume scales with distinct keys,
+not events) — plus the salted write repartition (hash(conv_id) buckets, hot
 conversations spread over `write_salt` tasks by a deterministic key-hash
-salt; see lake.table._write_data_files). A separate pre-dedup window would
-be pure overhead: winner-of-winners equals the global winner. The window's
-hash exchange on the full key spreads hot conversations across turn_idx.
+salt; see lake.table._write_data_files). A separate pre-dedup pass would
+be pure overhead: winner-of-winners equals the global winner. The
+aggregate's hash exchange on the full key spreads hot conversations across
+turn_idx.
 
 Exactly-once: two complementary mechanisms.
 1. Commit manifests keyed (checkpoint_epoch, partition_id) — written after the

@@ -210,9 +210,11 @@ _DAMP = 0.85
 
 def q28_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     li = T(spark, sf, "lineitem")
+    # node ids are prefixed: supplier k and part k are DIFFERENT nodes
     edges = (
         li.groupBy(
-            F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
         ).agg(F.count(F.lit(1)).alias("w"))
     )
     # out-weight per src, edge transition probability
@@ -251,7 +253,7 @@ def q28_pagerank(spark: SparkSession, sf: str) -> DataFrame:
 
 Q28_SQL = f"""
 WITH edges AS (
-  SELECT l_suppkey AS src, l_partkey AS dst, COUNT(*) AS w
+  SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst, COUNT(*) AS w
   FROM lineitem GROUP BY 1, 2
 ),
 outw AS (SELECT src, SUM(w) AS w_out FROM edges GROUP BY src),
@@ -401,6 +403,94 @@ FROM spine LEFT JOIN {_holiday_values_sql()} ON spine.date_key = h.date_key
 """
 
 
+# --------------------------------------------------------------------------
+# q31: truncated closeness centrality (§2.8 N2, closing the round-1 partial)
+# — multi-source BFS to depth D as DataFrame frontier iteration (the
+# Pregel-on-DataFrames shape: one edge join + min-dist aggregate per level).
+# Truncation at fixed depth keeps it deterministic, oracle-expressible
+# (unrolled min-dist CTEs), and bounded at scale: per level exactly one
+# shuffle on node, state = (seed, node, dist) for the seed set only.
+# closeness(seed) = n_reached / sum(dist) over nodes within depth D.
+# --------------------------------------------------------------------------
+
+_BFS_DEPTH = 4
+_N_SEEDS = 3  # suppliers s1..s3
+
+
+def q31_closeness(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem")
+    e = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("a"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("b"),
+    ).distinct()
+    # undirected: closeness walks both directions of the bipartite edge
+    edges = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    seeds = spark.range(1, _N_SEEDS + 1).select(
+        F.concat(F.lit("s"), F.col("id")).alias("node")
+    )
+    dist = seeds.select(
+        F.col("node").alias("seed"), "node", F.lit(0).alias("dist")
+    )
+    for _ in range(_BFS_DEPTH):
+        hop = dist.join(edges, dist.node == edges.a).select(
+            "seed", F.col("b").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.unionByName(hop)
+            .groupBy("seed", "node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return (
+        dist.filter(F.col("dist") > 0)
+        .groupBy("seed")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum("dist").alias("total_dist"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.sum("dist"), 6
+            ).alias("closeness"),
+        )
+    )
+
+
+def _closeness_sql() -> str:
+    levels = []
+    prev = "d0"
+    for i in range(1, _BFS_DEPTH + 1):
+        levels.append(
+            f"d{i} AS (\n"
+            f"  SELECT seed, node, MIN(dist) AS dist FROM (\n"
+            f"    SELECT seed, node, dist FROM {prev}\n"
+            f"    UNION ALL\n"
+            f"    SELECT p.seed, e.b AS node, p.dist + 1 AS dist\n"
+            f"    FROM {prev} p JOIN edges e ON p.node = e.a\n"
+            f"  ) GROUP BY seed, node\n"
+            f")"
+        )
+        prev = f"d{i}"
+    seeds = ", ".join(f"'s{i}'" for i in range(1, _N_SEEDS + 1))
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT 's' || l_suppkey AS a, 'p' || l_partkey AS b FROM lineitem
+),
+edges AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+d0 AS (
+  SELECT node AS seed, node, 0 AS dist
+  FROM (SELECT DISTINCT a AS node FROM e0 WHERE a IN ({seeds}))
+),
+{", ".join(levels)}
+SELECT seed, COUNT(*) AS n_reached,
+       CAST(SUM(dist) AS BIGINT) AS total_dist,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(dist), 6) AS closeness
+FROM {prev} WHERE dist > 0 GROUP BY seed
+"""
+
+
+Q31_SQL = _closeness_sql()
+
+
 ADVANCED = {
     "q25_reconstructed_ids": (q25_reconstructed_ids, Q25_SQL),
     "q26_grouped_apply_stats": (q26_grouped_apply_stats, Q26_SQL),
@@ -408,4 +498,5 @@ ADVANCED = {
     "q28_pagerank": (q28_pagerank, Q28_SQL),
     "q29_spatial_enrichment": (q29_spatial_enrichment, Q29_SQL),
     "q30_holiday_spine": (q30_holiday_spine, Q30_SQL),
+    "q31_closeness": (q31_closeness, Q31_SQL),
 }

@@ -188,3 +188,33 @@ def test_late_landing_epoch_below_checkpoint_is_replayed(spark, tmp_path):
     pd.testing.assert_frame_equal(silver_pdf(eng), oracle_pdf(), check_dtype=False)
     # and a further replay is a no-op
     assert eng.replay() == []
+
+
+def test_crash_between_snapshot_commit_and_manifest_write(spark, tmp_path):
+    """The exactly-once story's hard case: the silver snapshot committed but
+    the process died BEFORE writing commit manifests. On restart the epoch
+    looks pending and is re-applied — the LWW resolver must make that a
+    semantic no-op (every redelivered event loses to the state it already
+    produced), landing on the same oracle state."""
+    import os
+
+    eng = new_engine(spark, tmp_path, "wh_crash")
+    eng.replay(catchup=False)
+    want = silver_pdf(eng)
+
+    # simulate the torn commit: wipe epoch 3's manifests (post-snapshot,
+    # pre-manifest crash) and rewind the checkpoint pointer
+    for fn in os.listdir(eng._manifest_dir):
+        if fn.startswith("e000003"):
+            os.remove(os.path.join(eng._manifest_dir, fn))
+    from citibike_pipeline_spark.lake import fs
+    fs.write_json_atomic(eng._checkpoint_file, {"last_epoch": 2, "snapshot_id": 0})
+
+    eng2 = CdcEngine(spark, eng.warehouse, n_buckets=4, write_salt=2)
+    metrics = eng2.replay(catchup=False)
+    assert [m["epoch"] for m in metrics] == [3]
+    assert metrics[0]["events_read"] > 0  # genuinely re-applied, not skipped
+    pd.testing.assert_frame_equal(silver_pdf(eng2), want)
+    pd.testing.assert_frame_equal(silver_pdf(eng2), oracle_pdf(), check_dtype=False)
+    # manifests restored; a further replay is a clean no-op
+    assert eng2.replay() == []
