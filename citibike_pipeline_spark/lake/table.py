@@ -22,9 +22,24 @@ Iceberg's failure mode, and the basis of the CDC engine's exactly-once story.
 
 Scale notes: data is hash-bucketed on the table's key columns
 (``xxhash64 pmod n_buckets``). MERGE rewrites only touched buckets;
-bucket-pruned scans read only matching files. At 100 TB you'd raise
-``n_buckets`` (e.g. 4096) and add a time-partition dimension; both are
-manifest-level knobs, not code changes.
+bucket-pruned scans read only matching files. At 100 TB you raise
+``n_buckets`` (e.g. 4096-65536) — a manifest-level knob, exercised at 256 in
+``tests/test_scale_knobs.py`` — which bounds the copy-on-write unit
+(table_size / n_buckets) to whatever rewrite granularity the cluster
+tolerates.
+
+Why NOT a time-partition dimension on the mutable silver table: a
+copy-on-write cell key must be a *pure function of the row's merge key*,
+or an update that changes the partitioning attribute (a turn's ``ts``, its
+ingest epoch) would land the new version in a different cell while the old
+version survives untouched in the old one. Event-time partitioning is
+therefore correct for the APPEND-ONLY layers — bronze is already
+epoch-partitioned (``epoch=N/`` directories, the WAL's time axis) — and for
+key-immutable gold facts, but on an LWW-mutable table the sound scale axes
+are key-hash granularity (n_buckets) and, beyond that, merge-on-read
+deletes (Iceberg v2 positional/equality delete files), which trade rewrite
+cost for read-side merge cost. That extension point is `replace_buckets` —
+a MOR commit would append delete files instead of rewriting cells.
 """
 
 from __future__ import annotations

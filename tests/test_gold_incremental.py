@@ -9,6 +9,7 @@ change-set, not table size).
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from citibike_pipeline_spark.cdc import CdcEngine
 from citibike_pipeline_spark.cdc.generator import GenConfig, generate_epoch
@@ -122,3 +123,55 @@ def test_refresh_cost_scales_with_touched_convs(incr_engine):
         .collect()
     )
     assert len(stats) == 1
+
+
+def test_fully_deleted_conversation_leaves_gold(incr_engine):
+    """Deleting every turn of a conversation must remove it from the
+    conv-scoped gold tables on the next incremental refresh (the group is
+    touched but contributes no recomputed rows)."""
+    eng, _ = incr_engine
+    # pick a conversation that still has live rows (generator churn can
+    # leave some convs already empty)
+    victim = (
+        eng.silver_view()
+        .groupBy("conv_id")
+        .count()
+        .orderBy(F.desc("count"), "conv_id")
+        .first()
+        .conv_id
+    )
+    turns = eng.silver_view().filter(F.col("conv_id") == victim).collect()
+    assert turns, "fixture should have rows for the victim conversation"
+
+    e = CFG.n_epochs + 1  # after the 1-conv patch epoch from the other test
+    base_lsn = 20_000_000
+    dels = pd.DataFrame(
+        {
+            "lsn": [base_lsn + i for i in range(len(turns))],
+            "op": ["D"] * len(turns),
+            "conv_id": [victim] * len(turns),
+            "turn_idx": [t.turn_idx for t in turns],
+            "role": [None] * len(turns),
+            "text": [None] * len(turns),
+            "tool": [None] * len(turns),
+            "ts": [None] * len(turns),
+            "schema_version": [2] * len(turns),
+            "partition_id": [0] * len(turns),
+            "checkpoint_epoch": [e] * len(turns),
+        }
+    )
+    eng.ingest_epoch_pandas(dels, e)
+    eng.replay(catchup=False)
+    info = refresh_gold(eng, eng.touched_convs([e]))
+    assert info["mode"] == "incremental"
+
+    assert eng.silver_view().filter(F.col("conv_id") == victim).count() == 0
+    for table in ["gold.conv_stats", "gold.running_turns", "gold.quality_flags",
+                  "gold.tool_conv_counts"]:
+        left = (
+            eng.catalog.load_table(table)
+            .read()
+            .filter(F.col("conv_id") == victim)
+            .count()
+        )
+        assert left == 0, f"{table} still has {left} rows for the deleted conv"

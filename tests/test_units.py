@@ -184,3 +184,45 @@ def test_gold_plans_match_pandas_oracle(spark):
         assert stats[cid].duration_sec == want.loc[cid, "duration_sec"]
     run = {(r.conv_id, r.turn_idx): r.cum_turns for r in gold_running_turns(silver).collect()}
     assert run[("c1", 0)] == 1 and run[("c1", 2)] == 3 and run[("c2", 0)] == 1
+
+
+def test_lww_property_random_event_logs(spark):
+    """SURVEY §5.4 property test: for arbitrary small event logs (random
+    keys/LSNs/ops, redelivered duplicates carrying identical payloads), the
+    max_by LWW kernel equals an independent pandas oracle under the
+    documented (lsn, op_rank D<I<U) total order."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    op_rank = {"D": 0, "I": 1, "U": 2}
+    event = st.tuples(
+        st.integers(min_value=0, max_value=40),   # lsn
+        st.sampled_from(["I", "U", "D"]),         # op
+        st.integers(min_value=0, max_value=4),    # conv
+        st.integers(min_value=0, max_value=3),    # turn
+    )
+
+    @given(st.lists(event, min_size=1, max_size=60))
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(raw):
+        rows = [
+            (lsn, op, f"c{conv}", turn, f"{conv}|{turn}|{lsn}|{op}")
+            for (lsn, op, conv, turn) in raw
+        ]
+        got = {
+            (r.conv_id, r.turn_idx): (r.lsn, r.op, r.text)
+            for r in lww_dedup_agg(spark.createDataFrame(rows, EV)).collect()
+        }
+        want = {}
+        for lsn, op, conv_id, turn, text in rows:
+            k = (conv_id, turn)
+            cand = (lsn, op_rank[op])
+            if k not in want or cand > (want[k][0], op_rank[want[k][1]]):
+                want[k] = (lsn, op, text)
+        assert got == want
+
+    check()
