@@ -565,4 +565,9 @@ class CdcEngine:
             "checkpoint_epoch int, partition_id int, n_events long, "
             "min_lsn long, max_lsn long, snapshot_id long, committed_at double"
         )
-        return self.spark.createDataFrame(rows, schema) if rows else self.spark.createDataFrame([], schema)
+        if rows:
+            return self.spark.createDataFrame(rows, schema)
+        # JVM-native empty frame — never the pickled-parallelize path
+        from ..lake.table import empty_df
+
+        return empty_df(self.spark, StructType.fromDDL(schema))
