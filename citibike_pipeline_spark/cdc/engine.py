@@ -85,8 +85,12 @@ class CdcEngine:
         n_buckets: int = 32,
         write_salt: int = 4,
         hot_key_threshold: int = 50_000,
+        merge_mode: str = "cow",
     ):
+        if merge_mode not in ("cow", "mor"):
+            raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
         self.spark = spark
+        self.merge_mode = merge_mode
         self.warehouse = warehouse
         self.catalog = LakeCatalog(spark, warehouse)
         self.n_buckets = n_buckets
@@ -242,6 +246,39 @@ class CdcEngine:
 
         return resolve
 
+    def _apply_changes(self, silver, changes: DataFrame, n_events: int, summary: dict) -> dict:
+        """Apply a reconciled change-set under the configured merge mode.
+
+        cow (default): copy-on-write MERGE — resolve (target ∪ changes) with
+        the LWW aggregate and rewrite the touched buckets. Write cost scales
+        with touched-bucket size; reads are resolve-free.
+
+        mor: merge-on-read delta append (Iceberg-v2/Hudi MOR trade) — the
+        change-set is LWW-collapsed batch-locally and APPENDED; cross-delta
+        and delta-vs-base winners resolve at READ time (`silver_resolved`).
+        Per-epoch write cost is O(changes) with no target read or bucket
+        rewrite at all — the right mode for high-frequency small epochs —
+        at the price of read amplification until `compact()` folds deltas
+        into the base. Exactly-once still holds: a re-applied epoch appends
+        duplicate rows whose identical (key, lsn, op) lose/tie in the read-
+        side LWW resolve, so the logical state is unchanged.
+        """
+        silver_cols = [f.name for f in silver.schema().fields]
+        if self.merge_mode == "mor":
+            deduped = lww_dedup_agg(
+                changes.select(*silver_cols),
+                extra_order_cols=[F.coalesce(F.col("ingest_epoch"), F.lit(-1))],
+            )
+            snap = silver.append(deduped, summary={**summary, "mode": "mor_delta"})
+            return {"buckets_touched": 0, "snapshot_id": snap.snapshot_id}
+        return merge_into(
+            silver,
+            changes,
+            resolver=self._lww_resolver(),
+            summary=summary,
+            prune_buckets=self._should_prune(n_events),
+        )
+
     def _should_prune(self, n_events: int) -> bool:
         """Bucket pruning pays when the change-set is SMALL RELATIVE TO THE
         TABLE: the touched-bucket collect costs one pass over the change-set
@@ -357,13 +394,7 @@ class CdcEngine:
             silver.schema(),
         )
 
-        stats = merge_into(
-            silver,
-            changes,
-            resolver=self._lww_resolver(),
-            summary={"epoch": epoch},
-            prune_buckets=self._should_prune(n_events),
-        )
+        stats = self._apply_changes(silver, changes, n_events, {"epoch": epoch})
 
         # manifests AFTER the atomic snapshot commit; a crash in between is
         # safe because LWW re-application is a semantic no-op (see module doc)
@@ -443,10 +474,8 @@ class CdcEngine:
             silver.schema(),
         )
         _t = time.time()
-        stats = merge_into(
-            silver, changes, resolver=self._lww_resolver(),
-            summary={"epochs": [min(epochs), max(epochs)]},
-            prune_buckets=self._should_prune(n_events),
+        stats = self._apply_changes(
+            silver, changes, n_events, {"epochs": [min(epochs), max(epochs)]}
         )
         phases["merge"] = round(time.time() - _t, 2)
 
@@ -510,10 +539,24 @@ class CdcEngine:
 
     # -- serving views -------------------------------------------------------------
 
+    def silver_resolved(self, buckets: list[int] | None = None) -> DataFrame:
+        """Physically-resolved silver (tombstones still present): under cow
+        the table is already collapsed; under mor the base ∪ delta files are
+        LWW-collapsed here. Bucket pruning is sound in both modes because a
+        key's every version lives in exactly one bucket."""
+        df = self.silver.read(buckets=buckets)
+        if self.merge_mode == "mor":
+            df = lww_dedup_agg(
+                df, extra_order_cols=[F.coalesce(F.col("ingest_epoch"), F.lit(-1))]
+            )
+        return df
+
     def silver_view(self) -> DataFrame:
         """Logical silver: live turns only (tombstones filtered), stable
         (conv_id, turn_idx, lsn) order available via the kept lsn column."""
-        return self.silver.read().filter(F.col("op") != "D").drop("op", "ingest_epoch")
+        return (
+            self.silver_resolved().filter(F.col("op") != "D").drop("op", "ingest_epoch")
+        )
 
     def compact(self, watermark_lsn: int | None = None) -> dict:
         """Purge tombstones at-or-below the replay low-watermark + expire
@@ -532,7 +575,9 @@ class CdcEngine:
             keep = F.lit(True)  # no redelivery bound given -> purge nothing
         else:
             keep = (F.col("op") != "D") | (F.col("lsn") > F.lit(int(watermark_lsn)))
-        live = silver.read().filter(keep)
+        # under mor this is ALSO the delta-fold (minor compaction): the
+        # resolved state is rewritten as a collapsed base
+        live = self.silver_resolved().filter(keep)
         snap = silver.overwrite(
             live, summary={"operation": "compact", "watermark_lsn": watermark_lsn}
         )

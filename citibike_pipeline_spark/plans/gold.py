@@ -306,7 +306,7 @@ def refresh_gold(engine, touched_convs: DataFrame) -> dict:
         sbuckets = sorted({r["sb"] for r in both})
         gbuckets = sorted({r["gb"] for r in both})
         silver_touched = (
-            engine.silver.read(buckets=sbuckets)
+            engine.silver_resolved(buckets=sbuckets)
             .filter(F.col("op") != "D")
             .drop("op", "ingest_epoch")
             .join(touched, on="conv_id", how="left_semi")

@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 
 from ..cdc.engine import CdcEngine, _EVENT_META, _atomic_write_json
 from ..cdc.reconcile import reconcile_to_schema
-from ..lake import merge_into
 
 # Sentinel message raised by _apply_batch when the running query's source
 # schema has fallen behind bronze's evolved schema; the supervisor loop
@@ -90,7 +89,10 @@ class StreamingTail:
             changes.drop(*(c for c in _EVENT_META if c in changes.columns)),
             silver.schema(),
         )
-        stats = merge_into(silver, changes, resolver=self.engine._lww_resolver())
+        # honors the engine's merge mode (cow MERGE or mor delta append)
+        stats = self.engine._apply_changes(
+            silver, changes, n_events=0, summary={"stream_batch": batch_id}
+        )
         self._mark_batch(batch_id, stats)
 
     def run_available(self, max_restarts: int = 4, _initial_schema=None) -> None:

@@ -33,6 +33,9 @@ def main() -> None:
                          "epochs//2. Pin it explicitly when resuming with a larger "
                          "--epochs so the generated corpus stays identical.")
     ap.add_argument("--n-buckets", type=int, default=32)
+    ap.add_argument("--merge-mode", choices=["cow", "mor"], default="cow",
+                    help="cow = copy-on-write MERGE (default); mor = merge-on-read "
+                         "delta append with read-time LWW resolve")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--from-checkpoint", action="store_true",
                     help="resume from the existing warehouse checkpoint")
@@ -63,11 +66,13 @@ def main() -> None:
             else max(args.epochs // 2, 1)
         ),
     )
-    eng = CdcEngine(spark, args.warehouse, n_buckets=args.n_buckets)
+    eng = CdcEngine(spark, args.warehouse, n_buckets=args.n_buckets,
+                    merge_mode=args.merge_mode)
 
     if not args.from_checkpoint:
         shutil.rmtree(args.warehouse, ignore_errors=True)
-        eng = CdcEngine(spark, args.warehouse, n_buckets=args.n_buckets)
+        eng = CdcEngine(spark, args.warehouse, n_buckets=args.n_buckets,
+                        merge_mode=args.merge_mode)
         eng.init_tables()
         t_gen = time.time()
         for e in range(cfg.n_epochs):

@@ -1,0 +1,107 @@
+"""Merge-on-read mode: delta-append writes, read-time LWW resolve.
+
+The MOR trade (Iceberg v2 / Hudi): per-epoch write cost is O(changes) — no
+target read, no bucket rewrite — and winners resolve at read time until
+compact() folds deltas into the base. Everything the COW parity suite pins
+must hold identically, including exactly-once under re-applied epochs.
+"""
+
+import pandas as pd
+import pytest
+
+from citibike_pipeline_spark.cdc import CdcEngine
+from citibike_pipeline_spark.cdc.generator import GenConfig, generate_corpus_pandas, generate_epoch
+from citibike_pipeline_spark.cdc.oracle import expected_silver
+from citibike_pipeline_spark.cdc.schemas import TURN_COLUMNS
+
+CFG = GenConfig(
+    n_convs=40, n_epochs=4, events_per_epoch=1500, seed=7, evolution_epoch=2,
+    n_hot=1, turns_hot=200, turns_normal=30,
+)
+COLS = TURN_COLUMNS + ["lsn"]
+
+
+def silver_pdf(eng) -> pd.DataFrame:
+    out = (
+        eng.silver_view().toPandas()
+        .sort_values(["conv_id", "turn_idx", "lsn"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    out["ts"] = out["ts"].astype("datetime64[us]")
+    return out[COLS]
+
+
+def oracle_pdf() -> pd.DataFrame:
+    want = expected_silver(generate_corpus_pandas(CFG))
+    want["ts"] = want["ts"].astype("datetime64[us]")
+    return want[COLS].reset_index(drop=True)
+
+
+def mor_engine(spark, tmp_path, name) -> CdcEngine:
+    eng = CdcEngine(spark, str(tmp_path / name), n_buckets=4, write_salt=2,
+                    merge_mode="mor")
+    eng.init_tables()
+    for e in range(CFG.n_epochs):
+        eng.ingest_epoch_pandas(generate_epoch(CFG, e), e)
+    return eng
+
+
+def test_mor_replay_parity_epoch_at_a_time(spark, tmp_path):
+    eng = mor_engine(spark, tmp_path, "wh_mor")
+    metrics = eng.replay(catchup=False)
+    assert all(m["buckets_touched"] == 0 for m in metrics)  # no rewrites
+    pd.testing.assert_frame_equal(silver_pdf(eng), oracle_pdf(), check_dtype=False)
+
+
+def test_mor_catchup_parity(spark, tmp_path):
+    eng = mor_engine(spark, tmp_path, "wh_mor_catchup")
+    eng.replay(catchup=True)
+    pd.testing.assert_frame_equal(silver_pdf(eng), oracle_pdf(), check_dtype=False)
+
+
+def test_mor_reapplied_epoch_is_logical_noop(spark, tmp_path):
+    """Torn commit under MOR: re-appending an epoch's delta adds duplicate
+    physical rows whose identical (key, lsn, op) tie in the read-side LWW
+    resolve — the logical state is unchanged."""
+    import os
+
+    eng = mor_engine(spark, tmp_path, "wh_mor_crash")
+    eng.replay(catchup=False)
+    want = silver_pdf(eng)
+    for fn in os.listdir(eng._manifest_dir):
+        if fn.startswith("e000002"):
+            os.remove(os.path.join(eng._manifest_dir, fn))
+    eng2 = CdcEngine(spark, eng.warehouse, n_buckets=4, write_salt=2,
+                     merge_mode="mor")
+    metrics = eng2.replay(catchup=False)
+    assert [m["epoch"] for m in metrics] == [2]
+    pd.testing.assert_frame_equal(silver_pdf(eng2), want)
+
+
+def test_mor_compact_folds_deltas(spark, tmp_path):
+    eng = mor_engine(spark, tmp_path, "wh_mor_compact")
+    eng.replay(catchup=False)
+    want = silver_pdf(eng)
+    physical_before = eng.silver.row_count()
+    assert physical_before > len(want)  # deltas accumulated
+
+    eng.compact(watermark_lsn=10**15)
+    # base is collapsed: physical rows == live rows, no tombstones
+    assert eng.silver.row_count() == len(want)
+    assert eng.silver.read().filter("op = 'D'").count() == 0
+    pd.testing.assert_frame_equal(silver_pdf(eng), want)
+
+    # and the table keeps accepting deltas after the fold
+    e = CFG.n_epochs
+    patch = pd.DataFrame(
+        {
+            "lsn": [10_000_000], "op": ["U"], "conv_id": ["conv_00009"],
+            "turn_idx": [0], "role": ["user"], "text": ["post-compact patch"],
+            "tool": [None], "ts": pd.to_datetime(["2024-06-01 10:00:00"]),
+            "schema_version": [2], "partition_id": [0], "checkpoint_epoch": [e],
+        }
+    )
+    eng.ingest_epoch_pandas(patch, e)
+    eng.replay(catchup=False)
+    got = eng.silver_view().filter("conv_id = 'conv_00009' AND turn_idx = 0").collect()
+    assert len(got) == 1 and got[0].text == "post-compact patch"
