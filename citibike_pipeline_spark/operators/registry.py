@@ -16,6 +16,7 @@ from .advanced import ADVANCED
 from .textops import TEXTOPS
 from .embeddings import EMBEDDINGS
 from .multimodal import MULTIMODAL
+from .flow import FLOW
 
 
 @dataclass(frozen=True)
@@ -26,6 +27,6 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {
     name: QuerySpec(fn, sql)
-    for group in (RELATIONAL, ADVANCED, TEXTOPS, EMBEDDINGS, MULTIMODAL)
+    for group in (RELATIONAL, ADVANCED, TEXTOPS, EMBEDDINGS, MULTIMODAL, FLOW)
     for name, (fn, sql) in group.items()
 }
