@@ -105,3 +105,29 @@ def test_mor_compact_folds_deltas(spark, tmp_path):
     eng.replay(catchup=False)
     got = eng.silver_view().filter("conv_id = 'conv_00009' AND turn_idx = 0").collect()
     assert len(got) == 1 and got[0].text == "post-compact patch"
+
+
+def test_mor_incremental_gold_matches_full_rebuild(spark, tmp_path):
+    """Incremental gold over a MOR silver reads bucket-pruned deltas+base
+    through silver_resolved; the result must equal the full-refresh plans."""
+    from citibike_pipeline_spark.plans import refresh_gold
+    from citibike_pipeline_spark.plans.gold import _conv_plans
+
+    eng = CdcEngine(spark, str(tmp_path / "wh_mor_gold"), n_buckets=4,
+                    write_salt=1, merge_mode="mor")
+    eng.init_tables()
+    for e in range(CFG.n_epochs):
+        eng.ingest_epoch_pandas(generate_epoch(CFG, e), e)
+        eng.replay(catchup=False)
+        refresh_gold(eng, eng.touched_convs([e]))
+
+    silver = eng.silver_view()
+    for table, plan in _conv_plans(silver).items():
+        got = (
+            eng.catalog.load_table(table).read().toPandas()
+        )
+        want = plan.toPandas()
+        cols = sorted(got.columns)
+        got = got[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+        want = want[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=table)
