@@ -288,8 +288,12 @@ class CdcEngine:
         is nothing to save — so the threshold is table-relative, not an
         absolute event count (which inverted at large table sizes: a fixed
         640k-event cutoff forced FULL-table rewrites precisely when the table
-        dwarfed the batch). Table size is a manifest lookup, not a scan."""
-        table_rows = self.silver.row_count()
+        dwarfed the batch). Table size comes from manifest stats ONLY —
+        if a legacy snapshot lacks per-file counts we fall back to the old
+        absolute heuristic rather than paying a full count() per merge."""
+        table_rows = self.silver.stat_row_count()
+        if table_rows is None:
+            return n_events < self.n_buckets * 20_000
         return n_events * 4 < table_rows
 
     def _detect_hot_sampled(self, events: DataFrame, n_events: int) -> list[str]:
@@ -430,7 +434,13 @@ class CdcEngine:
         t0 = time.time()
         phases: dict[str, float] = {}
         silver = self.silver
+        # the range read spans [min, max], but with manifest-derived pending
+        # lists the range can be SPARSE (a late-landed epoch between fully
+        # committed ones) — keep only the pending epochs' events, or already-
+        # applied epochs would be re-merged (and, under mor, re-appended)
         events = self.bronze.read_epochs(min(epochs), max(epochs) + 1)
+        if set(epochs) != set(range(min(epochs), max(epochs) + 1)):
+            events = events.filter(F.col("checkpoint_epoch").isin([int(e) for e in epochs]))
 
         # exactly-once: exclude (epoch, partition) pairs already committed;
         # lineage stats come from the WAL landing records — no extra scan
@@ -502,7 +512,12 @@ class CdcEngine:
         self._write_metrics(max(epochs), metrics)
         return metrics
 
-    def replay(self, to_epoch: int | None = None, catchup: bool = True) -> list[dict]:
+    def replay(
+        self,
+        to_epoch: int | None = None,
+        catchup: bool = True,
+        late_window: int | None = 1024,
+    ) -> list[dict]:
         """Apply every landed epoch (≤ to_epoch) that is not fully committed.
 
         Pending-ness is manifest-derived, NOT checkpoint-derived: an epoch
@@ -511,13 +526,24 @@ class CdcEngine:
         commit manifests) and replayed. LWW order-independence makes the late
         application correct; the checkpoint is only a monotone resume hint.
 
+        ``late_window`` bounds the completeness scan: epochs older than
+        checkpoint - late_window are assumed fully committed, so steady-state
+        replay cost is O(window + new epochs), not O(lifetime epochs). Pass
+        None to force a full-history audit (e.g. after restoring a backup).
+
         With catchup=True (default) the whole backlog goes through one
         apply_epochs merge; catchup=False applies epoch-at-a-time (the
         incremental/tail mode)."""
         committed = self._committed_by_epoch()
+        floor = (
+            -1
+            if late_window is None
+            else int(self.checkpoint()["last_epoch"]) - int(late_window)
+        )
         pending = [
             e for e in self.bronze.epochs()
-            if (to_epoch is None or e <= to_epoch)
+            if e > floor
+            and (to_epoch is None or e <= to_epoch)
             and not self._is_fully_committed(e, committed.get(e, set()))
         ]
         if not pending:

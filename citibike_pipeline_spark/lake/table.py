@@ -178,8 +178,16 @@ class LakeTable:
     def _abs(self, p: str) -> str:
         """Resolve a manifest file path: new manifests store paths RELATIVE
         to the table root (relocatable warehouse); absolute entries from
-        older snapshots still resolve as-is."""
-        return p if os.path.isabs(p) else os.path.join(self.path, p)
+        older snapshots resolve as-is. A legacy snapshot written through a
+        RELATIVE warehouse path stored cwd-relative entries that already
+        embed the table root — if the root-join does not exist but the raw
+        entry does, use the raw entry (never double-prefix)."""
+        if os.path.isabs(p):
+            return p
+        joined = os.path.join(self.path, p)
+        if not os.path.exists(joined) and os.path.exists(p):
+            return p
+        return joined
 
     # -- snapshot plumbing ---------------------------------------------------
 
@@ -292,17 +300,25 @@ class LakeTable:
                     )
         return files
 
-    def row_count(self, snapshot_id: int | None = None) -> int:
-        """Row count from manifest stats (no scan). Falls back to a scan only
-        for files committed before per-file stats existed."""
+    def stat_row_count(self, snapshot_id: int | None = None) -> int | None:
+        """Row count from manifest stats alone — None when any file predates
+        per-file stats (callers on a hot path must NOT fall back to a scan)."""
         snap = self.current_snapshot() if snapshot_id is None else None
         if snap is None:
             snap = Snapshot.from_json(
                 fs.read_text(os.path.join(self._snap_dir, f"v{snapshot_id:09d}.json"))
             )
         if any(f.get("rows") is None for f in snap.files):
-            return self.read(snapshot_id=snapshot_id).count()
+            return None
         return sum(int(f["rows"]) for f in snap.files)
+
+    def row_count(self, snapshot_id: int | None = None) -> int:
+        """Row count from manifest stats (no scan). Falls back to a scan only
+        for files committed before per-file stats existed."""
+        n = self.stat_row_count(snapshot_id=snapshot_id)
+        if n is None:
+            return self.read(snapshot_id=snapshot_id).count()
+        return n
 
     def append(self, df: DataFrame, summary: dict[str, Any] | None = None) -> Snapshot:
         snap = self.current_snapshot()
@@ -420,7 +436,9 @@ class LakeTable:
             snap = Snapshot.from_json(
                 fs.read_text(os.path.join(self._snap_dir, f"v{sid:09d}.json"))
             )
-            live.update(self._abs(x["path"]) for x in snap.files)
+            # canonicalize so the walk's paths compare equal regardless of
+            # how the manifest stored them (relative/absolute/legacy)
+            live.update(os.path.abspath(self._abs(x["path"])) for x in snap.files)
         removed = 0
         for sid in history:
             if sid not in keep_ids:
@@ -430,7 +448,7 @@ class LakeTable:
             for bdir, _, fns in list(os.walk(root)):
                 for fn in fns:
                     p = os.path.join(bdir, fn)
-                    if fn.endswith(".parquet") and p not in live:
+                    if fn.endswith(".parquet") and os.path.abspath(p) not in live:
                         os.remove(p)
                         removed += 1
             if not any(fns for _, _, fns in os.walk(root)):

@@ -9,6 +9,8 @@ from .gold import (
     gold_top_conversations,
     build_gold,
     refresh_gold,
+    update_gold,
+    gold_checkpoint,
 )
 
 __all__ = [
@@ -20,4 +22,6 @@ __all__ = [
     "gold_top_conversations",
     "build_gold",
     "refresh_gold",
+    "update_gold",
+    "gold_checkpoint",
 ]

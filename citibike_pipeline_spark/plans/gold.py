@@ -205,7 +205,21 @@ _CONV_SCOPED = [
 ]
 
 
+def _spec_ok(engine, name: str) -> bool:
+    """True iff the existing table's layout matches the current spec — a
+    table created by an older build (e.g. bucket_cols defaulted to the full
+    key) cannot be group-pruned and must be recreated."""
+    if not engine.catalog.table_exists(name):
+        return False
+    snap = engine.catalog.load_table(name).current_snapshot()
+    return snap.bucket_cols == _GOLD_SPECS[name]["bucket"]
+
+
 def _ensure_table(engine, name: str, df: DataFrame):
+    if engine.catalog.table_exists(name) and not _spec_ok(engine, name):
+        # gold is derived state: recreating under the current layout is
+        # always safe and heals warehouses built by older code
+        engine.catalog.drop_table(name)
     if not engine.catalog.table_exists(name):
         engine.catalog.create_table(
             name,
@@ -283,7 +297,9 @@ def refresh_gold(engine, touched_convs: DataFrame) -> dict:
     from ..lake.merge import replace_groups
     from ..lake.table import bucket_expr
 
-    if any(not engine.catalog.table_exists(n) for n in _GOLD_SPECS):
+    # missing OR legacy-layout tables -> full rebuild (which also recreates
+    # any table whose bucket spec can't be group-pruned)
+    if any(not _spec_ok(engine, n) for n in _GOLD_SPECS):
         return {"mode": "full", "counts": build_gold(engine), "buckets_touched": {}}
 
     touched = touched_convs.select("conv_id").distinct().persist()
@@ -375,3 +391,55 @@ def _extend_dim_dates(engine, silver_touched: DataFrame) -> int:
     finally:
         missing.unpersist()
     return t.row_count()
+
+
+# -- driver-surface orchestration ------------------------------------------
+
+def _gold_ckpt_path(engine) -> str:
+    return f"{engine.warehouse}/_meta/gold_checkpoint.json"
+
+
+def gold_checkpoint(engine) -> int:
+    """Last WAL epoch the gold layer has consumed (-1 = never built)."""
+    from ..lake import fs
+
+    p = _gold_ckpt_path(engine)
+    return int(fs.read_json(p)["last_epoch"]) if fs.exists(p) else -1
+
+
+def update_gold(engine, full: bool = False) -> dict:
+    """Bring gold up to date with silver — the driver-surface entry point.
+
+    Gold keeps its OWN checkpoint (the last epoch it consumed), so staleness
+    is decided against silver's replay checkpoint, not against "did this
+    process just apply something": a --skip-gold run or a crash between
+    replay and refresh leaves gold behind, and the next update heals the gap
+    by refreshing over every epoch in (gold_ckpt, silver_ckpt].
+    """
+    from ..lake import fs
+
+    silver_ckpt = int(engine.checkpoint()["last_epoch"])
+    g_ckpt = gold_checkpoint(engine)
+    missing = any(not _spec_ok(engine, n) for n in _GOLD_SPECS)
+
+    if full or missing:
+        info = {"mode": "full", "counts": build_gold(engine), "buckets_touched": {}}
+    elif g_ckpt >= silver_ckpt:
+        info = {
+            "mode": "noop",
+            "counts": {
+                n: engine.catalog.load_table(n).row_count() for n in _GOLD_SPECS
+            },
+            "buckets_touched": {},
+        }
+    else:
+        epochs = [e for e in engine.bronze.epochs() if g_ckpt < e <= silver_ckpt]
+        if not epochs:
+            info = {"mode": "noop", "counts": {
+                n: engine.catalog.load_table(n).row_count() for n in _GOLD_SPECS
+            }, "buckets_touched": {}}
+        else:
+            info = refresh_gold(engine, engine.touched_convs(epochs))
+    if silver_ckpt > g_ckpt:
+        fs.write_json_atomic(_gold_ckpt_path(engine), {"last_epoch": silver_ckpt})
+    return info

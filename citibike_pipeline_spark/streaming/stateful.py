@@ -53,6 +53,11 @@ _STATE_SCHEMA = StructType(
         StructField("n_events", LongType(), True),
         StructField("max_lsn", LongType(), True),
         StructField("n_deletes", LongType(), True),
+        # last event time as epoch-microseconds (-1 = none seen): timestamps
+        # must live IN the state or a later delete-only/late batch would
+        # emit NULL/regressed last_ts and the sink's source-wins merge would
+        # clobber the stored value
+        StructField("last_ts_us", LongType(), True),
     ]
 )
 
@@ -61,26 +66,25 @@ def _track(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """State transition: fold the batch's events for one conversation into
-    (n_events, max_lsn, n_deletes); emit the updated row. Vectorized over
-    each Arrow batch — no per-row Python."""
+    (n_events, max_lsn, n_deletes, last_ts); emit the updated row.
+    Vectorized over each Arrow batch — no per-row Python."""
     (conv_id,) = key
-    n, mx, nd = state.get if state.exists else (0, -1, 0)
-    last_ts = None
+    n, mx, nd, last_us = state.get if state.exists else (0, -1, 0, -1)
     for pdf in pdfs:
         n += len(pdf)
         mx = max(mx, int(pdf["lsn"].max()))
         nd += int((pdf["op"] == "D").sum())
         ts_max = pdf["ts"].max()
         if pd.notna(ts_max):
-            last_ts = ts_max if last_ts is None else max(last_ts, ts_max)
-    state.update((n, mx, nd))
+            last_us = max(last_us, int(pd.Timestamp(ts_max).value // 1000))
+    state.update((n, mx, nd, last_us))
     yield pd.DataFrame(
         {
             "conv_id": [conv_id],
             "n_events": [n],
             "max_lsn": [mx],
             "n_deletes": [nd],
-            "last_ts": [last_ts],
+            "last_ts": [pd.Timestamp(last_us * 1000) if last_us >= 0 else None],
         }
     )
 

@@ -50,7 +50,7 @@ def main() -> None:
     from citibike_pipeline_spark.cdc import CdcEngine
     from citibike_pipeline_spark.cdc.generator import GenConfig, generate_epoch, generate_corpus_pandas
     from citibike_pipeline_spark.cdc.oracle import expected_silver
-    from citibike_pipeline_spark.plans import build_gold, refresh_gold
+    from citibike_pipeline_spark.plans import update_gold
 
     spark = get_spark("cdc-replay", shuffle_partitions=args.shuffle_partitions)
     cores = spark.sparkContext.defaultParallelism
@@ -94,30 +94,14 @@ def main() -> None:
     replay_sec = time.time() - t0
     events = sum(m.get("events_read", 0) for m in metrics)
 
-    applied = []
-    for m in metrics:
-        if m.get("skipped"):
-            continue
-        applied.extend(m["epochs"] if "epochs" in m else [m["epoch"]])
-
-    from citibike_pipeline_spark.plans.gold import _GOLD_SPECS
-
     gold_counts, gold_mode = {}, None
     t_gold = time.time()
     if not args.skip_gold:
-        have_gold = all(eng.catalog.table_exists(n) for n in _GOLD_SPECS)
-        if args.full_gold or not have_gold:
-            gold_counts, gold_mode = build_gold(eng), "full"
-        elif not applied:
-            # exactly-once no-op resume: gold is already current; counts come
-            # from commit manifests, no scan and no rebuild
-            gold_mode = "noop"
-            gold_counts = {
-                n: eng.catalog.load_table(n).row_count() for n in _GOLD_SPECS
-            }
-        else:
-            info = refresh_gold(eng, eng.touched_convs(applied))
-            gold_counts, gold_mode = info["counts"], info["mode"]
+        # update_gold tracks its own consumed-epoch checkpoint, so it heals
+        # any gap silver has opened (earlier --skip-gold runs, crash between
+        # replay and refresh) and no-ops when already current
+        info = update_gold(eng, full=args.full_gold)
+        gold_counts, gold_mode = info["counts"], info["mode"]
     gold_sec = time.time() - t_gold
 
     parity = None

@@ -103,17 +103,18 @@ def test_stateful_conv_progress(spark, tmp_path):
     sp.run_available()
 
     got = {
-        r.conv_id: (r.n_events, r.max_lsn, r.n_deletes)
+        r.conv_id: (r.n_events, r.max_lsn, r.n_deletes, r.last_ts)
         for r in sp.progress().collect()
     }
     want = {
-        r.conv_id: (r.n_events, r.max_lsn, r.n_deletes)
+        r.conv_id: (r.n_events, r.max_lsn, r.n_deletes, r.last_ts)
         for r in eng.bronze.read_epochs(0, CFG.n_epochs)
         .groupBy("conv_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.max("lsn").alias("max_lsn"),
             F.count(F.when(F.col("op") == "D", 1)).alias("n_deletes"),
+            F.max("ts").alias("last_ts"),
         )
         .collect()
     }
