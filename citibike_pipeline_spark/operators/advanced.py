@@ -59,7 +59,7 @@ def q25_reconstructed_ids(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("total_qty"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double"), 4).alias("total_qty"),
             F.sum(F.when(F.col("id_role") == "part", 1).otherwise(0)).alias("n_as_part"),
             F.sum(F.when(F.col("id_role") == "supp", 1).otherwise(0)).alias("n_as_supp"),
         )
@@ -80,7 +80,7 @@ unpivoted AS (
   SELECT 'supp', l_suppkey, l_quantity FROM lineitem
 )
 SELECT m.id AS id, COUNT(*) AS n_lines,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS total_qty,
        CAST(SUM(CASE WHEN id_role = 'part' THEN 1 ELSE 0 END) AS BIGINT) AS n_as_part,
        CAST(SUM(CASE WHEN id_role = 'supp' THEN 1 ELSE 0 END) AS BIGINT) AS n_as_supp
 FROM missing m JOIN unpivoted u ON u.id = m.id

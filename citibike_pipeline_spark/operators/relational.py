@@ -36,11 +36,15 @@ def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
         li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount")))
-            .cast("double")
-            .alias("sum_disc_price"),
+            F.round(F.sum(_dec("l_quantity")).cast("double"), 4).alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(
+                    _dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+                ).cast("double"),
+                4,
+            ).alias("sum_disc_price"),
             F.round(F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
             F.round(F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1)), 6).alias("avg_disc"),
             F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias("n_high_disc"),
@@ -51,9 +55,9 @@ def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
 
 Q01_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_base_price,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4) AS sum_disc_price,
        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
        ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
        CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_disc,
@@ -78,9 +82,13 @@ def q02_revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name", "r_name")
         .agg(
-            F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount")))
-            .cast("double")
-            .alias("revenue"),
+            F.round(
+                F.sum(
+                    _dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+                ).cast("double"),
+                4,
+            ).alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
     )
@@ -88,7 +96,7 @@ def q02_revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
 
 Q02_SQL = """
 SELECT n_name, r_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4) AS revenue,
        COUNT(DISTINCT o_orderkey) AS n_orders
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -112,7 +120,7 @@ def q03_rolling_90d_top_parts(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.to_date("l_shipdate") >= F.col("start_date"))
         .groupBy("l_partkey")
         .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("qty_90d"),
+            F.round(F.sum(_dec("l_quantity")).cast("double"), 4).alias("qty_90d"),
             F.count(F.lit(1)).alias("n_lines"),
         )
         .orderBy(F.desc("qty_90d"), "l_partkey")
@@ -123,7 +131,7 @@ def q03_rolling_90d_top_parts(spark: SparkSession, sf: str) -> DataFrame:
 Q03_SQL = """
 WITH b AS (SELECT CAST(MAX(CAST(l_shipdate AS DATE)) AS DATE) - 90 AS start_date FROM lineitem)
 SELECT l_partkey,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty_90d,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS qty_90d,
        COUNT(*) AS n_lines
 FROM lineitem, b
 WHERE CAST(l_shipdate AS DATE) >= b.start_date
@@ -172,14 +180,14 @@ def q05_running_balance(spark: SparkSession, sf: str) -> DataFrame:
     return ev.select(
         "user_id",
         "event_id",
-        F.sum(_dec("value", 18, 2)).over(w).cast("double").alias("running_value"),
+        F.round(F.sum(_dec("value", 18, 2)).over(w).cast("double"), 4).alias("running_value"),
         F.count(F.lit(1)).over(w).alias("running_events"),
     )
 
 
 Q05_SQL = """
 SELECT user_id, event_id,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_value,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 4) AS running_value,
        COUNT(*) OVER w AS running_events
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
@@ -233,7 +241,7 @@ def q07_unpivot_daily_net(spark: SparkSession, sf: str) -> DataFrame:
     return (
         events.groupBy("event_date", "event_kind")
         .agg(
-            F.sum("qty_change").cast("double").alias("net_qty"),
+            F.round(F.sum("qty_change").cast("double"), 4).alias("net_qty"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )
@@ -247,7 +255,7 @@ WITH ev AS (
   SELECT CAST(l_shipdate AS DATE), 'backorder', CAST(-l_quantity AS DECIMAL(18,4)) FROM lineitem
 )
 SELECT event_date, event_kind,
-       CAST(SUM(qty_change) AS DOUBLE) AS net_qty, COUNT(*) AS n_events
+       ROUND(CAST(SUM(qty_change) AS DOUBLE), 4) AS net_qty, COUNT(*) AS n_events
 FROM ev GROUP BY event_date, event_kind
 """
 
@@ -311,7 +319,7 @@ def q10_full_outer_degrees(spark: SparkSession, sf: str) -> DataFrame:
     )
     buys = ev.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_purchases"),
-        F.sum(_dec("value", 18, 2)).cast("double").alias("purchase_value"),
+        F.round(F.sum(_dec("value", 18, 2)).cast("double"), 4).alias("purchase_value"),
     )
     return (
         clicks.join(buys, "user_id", "full_outer")
@@ -329,7 +337,7 @@ WITH clicks AS (
   SELECT user_id, COUNT(*) AS n_clicks FROM events WHERE event_type = 'click' GROUP BY user_id
 ), buys AS (
   SELECT user_id, COUNT(*) AS n_purchases,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS purchase_value
   FROM events WHERE event_type = 'purchase' GROUP BY user_id
 )
 SELECT COALESCE(c.user_id, b.user_id) AS user_id,
@@ -398,7 +406,7 @@ def q13_date_spine_daily_orders(spark: SparkSession, sf: str) -> DataFrame:
     spine = bounds.select(F.explode(F.sequence("d0", "d1")).alias("date_key"))
     daily = o.groupBy(F.to_date("o_orderdate").alias("date_key")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        F.round(F.sum(_dec("o_totalprice")).cast("double"), 4).alias("total"),
     )
     return spine.join(daily, "date_key", "left").select(
         "date_key",
@@ -413,7 +421,7 @@ WITH b AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS d0, MAX(CAST(o_orderdate AS 
 spine AS (SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS date_key FROM b),
 daily AS (
   SELECT CAST(o_orderdate AS DATE) AS date_key, COUNT(*) AS n,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+         ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS total
   FROM orders GROUP BY 1
 )
 SELECT s.date_key,
