@@ -268,6 +268,11 @@ class LakeTable:
         # salting), so adaptive re-planning buys nothing and costs a
         # measurable serial driver pause at every stage boundary (~0.4-0.7 s
         # per merge at local[8]). Analytics queries keep AQE.
+        # NOTE single-writer seam: the toggle is session-scoped, so a query
+        # planned CONCURRENTLY in this same session could observe AQE off.
+        # The engine's contract is one writer per session (replay/tail are
+        # sequential); run analytics from a separate SparkSession (as bench.py
+        # and the driver do) if they must overlap a write.
         sess = df.sparkSession
         prev = sess.conf.get("spark.sql.adaptive.enabled", "true")
         sess.conf.set("spark.sql.adaptive.enabled", "false")

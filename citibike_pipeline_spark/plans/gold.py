@@ -399,32 +399,102 @@ def _gold_ckpt_path(engine) -> str:
     return f"{engine.warehouse}/_meta/gold_checkpoint.json"
 
 
+def _gold_consumed_dir(engine) -> str:
+    return f"{engine.warehouse}/_meta/gold_consumed"
+
+
 def gold_checkpoint(engine) -> int:
-    """Last WAL epoch the gold layer has consumed (-1 = never built)."""
+    """Highest WAL epoch the gold layer has consumed (-1 = never built).
+    A monotone resume HINT only — like silver's checkpoint, pending-ness is
+    derived from per-epoch consumption markers, not from this number."""
     from ..lake import fs
 
     p = _gold_ckpt_path(engine)
     return int(fs.read_json(p)["last_epoch"]) if fs.exists(p) else -1
 
 
-def update_gold(engine, full: bool = False) -> dict:
-    """Bring gold up to date with silver — the driver-surface entry point.
-
-    Gold keeps its OWN checkpoint (the last epoch it consumed), so staleness
-    is decided against silver's replay checkpoint, not against "did this
-    process just apply something": a --skip-gold run or a crash between
-    replay and refresh leaves gold behind, and the next update heals the gap
-    by refreshing over every epoch in (gold_ckpt, silver_ckpt].
-    """
+def _gold_consumed(engine) -> set[int]:
+    """Epochs gold has already folded in — one marker file per epoch
+    (e%06d.json), the same manifest-derived idiom silver's replay uses."""
     from ..lake import fs
 
-    silver_ckpt = int(engine.checkpoint()["last_epoch"])
-    g_ckpt = gold_checkpoint(engine)
+    d = _gold_consumed_dir(engine)
+    if not fs.exists(d):
+        return set()
+    return {
+        int(fn[1:-5])
+        for fn in fs.listdir(d)
+        if fn.startswith("e") and fn.endswith(".json")
+    }
+
+
+def _mark_gold_consumed(engine, epochs: list[int]) -> None:
+    from ..lake import fs
+
+    d = _gold_consumed_dir(engine)
+    if epochs:
+        fs.makedirs(d)
+    for e in epochs:
+        fs.write_json_atomic(f"{d}/e{e:06d}.json", {"epoch": int(e)})
+    hint = max([gold_checkpoint(engine), *epochs]) if epochs else gold_checkpoint(engine)
+    fs.write_json_atomic(_gold_ckpt_path(engine), {"last_epoch": int(hint)})
+
+
+def gold_pending_epochs(engine, late_window: int | None = 1024) -> list[int]:
+    """Epochs gold must still fold in: landed, FULLY COMMITTED in silver, and
+    not yet marked consumed by gold.
+
+    Mirrors ``CdcEngine.replay``'s manifest-derived pending logic rather than
+    an epoch-number range, so the two failure modes of the old
+    ``(gold_ckpt, silver_ckpt]`` window are gone:
+
+    - a LATE-landed epoch applied at/below the silver checkpoint (replay's
+      gap heal never advances the checkpoint) has no consumption marker and
+      is picked up here;
+    - a landed-but-not-yet-replayed epoch is NOT fully committed in silver,
+      so it is neither refreshed from (stale) silver nor marked consumed —
+      it stays pending until replay commits it.
+
+    ``late_window`` bounds the scan exactly as in replay: epochs older than
+    gold_hint - window are assumed consumed (None = full-history audit).
+    """
+    committed = engine._committed_by_epoch()
+    consumed = _gold_consumed(engine)
+    floor = -1 if late_window is None else gold_checkpoint(engine) - int(late_window)
+    return [
+        e
+        for e in engine.bronze.epochs()
+        if e > floor
+        and e not in consumed
+        and engine._is_fully_committed(e, committed.get(e, set()))
+    ]
+
+
+def update_gold(engine, full: bool = False, late_window: int | None = 1024) -> dict:
+    """Bring gold up to date with silver — the driver-surface entry point.
+
+    Gold tracks its OWN per-epoch consumption (``_meta/gold_consumed/``), so
+    staleness is decided against what silver has actually committed, not
+    against "did this process just apply something": a --skip-gold run, a
+    crash between replay and refresh, or a late-landed epoch healed below the
+    silver checkpoint all leave unconsumed markers that the next update
+    refreshes from. An epoch is marked consumed only once it is fully
+    committed in silver AND its conversations have been folded into gold.
+    """
+    pending = gold_pending_epochs(engine, late_window=late_window)
     missing = any(not _spec_ok(engine, n) for n in _GOLD_SPECS)
 
     if full or missing:
         info = {"mode": "full", "counts": build_gold(engine), "buckets_touched": {}}
-    elif g_ckpt >= silver_ckpt:
+        # a full rebuild derives from ALL of current silver — every committed
+        # epoch is consumed by construction (unreplayed ones stay pending)
+        committed = engine._committed_by_epoch()
+        pending = [
+            e
+            for e in engine.bronze.epochs()
+            if engine._is_fully_committed(e, committed.get(e, set()))
+        ]
+    elif not pending:
         info = {
             "mode": "noop",
             "counts": {
@@ -433,13 +503,6 @@ def update_gold(engine, full: bool = False) -> dict:
             "buckets_touched": {},
         }
     else:
-        epochs = [e for e in engine.bronze.epochs() if g_ckpt < e <= silver_ckpt]
-        if not epochs:
-            info = {"mode": "noop", "counts": {
-                n: engine.catalog.load_table(n).row_count() for n in _GOLD_SPECS
-            }, "buckets_touched": {}}
-        else:
-            info = refresh_gold(engine, engine.touched_convs(epochs))
-    if silver_ckpt > g_ckpt:
-        fs.write_json_atomic(_gold_ckpt_path(engine), {"last_epoch": silver_ckpt})
+        info = refresh_gold(engine, engine.touched_convs(pending))
+    _mark_gold_consumed(engine, pending)
     return info

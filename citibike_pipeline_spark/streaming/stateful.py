@@ -71,6 +71,10 @@ def _track(
     (conv_id,) = key
     n, mx, nd, last_us = state.get if state.exists else (0, -1, 0, -1)
     for pdf in pdfs:
+        if len(pdf) == 0:
+            # an empty Arrow chunk has no max(): int(NaN) would raise and
+            # fail the whole streaming batch
+            continue
         n += len(pdf)
         mx = max(mx, int(pdf["lsn"].max()))
         nd += int((pdf["op"] == "D").sum())

@@ -175,3 +175,49 @@ def test_fully_deleted_conversation_leaves_gold(incr_engine):
             .count()
         )
         assert left == 0, f"{table} still has {left} rows for the deleted conv"
+
+
+# -- update_gold consumption tracking (ADVICE r2: late-landed epochs) --------
+
+def test_update_gold_heals_late_landed_epoch(spark, tmp_path):
+    """An epoch that lands LATE (below the silver checkpoint) and is healed
+    by replay without advancing the checkpoint must still be folded into
+    gold on the next update_gold — the old (gold_ckpt, silver_ckpt] window
+    marked it consumed and left gold silently stale."""
+    from citibike_pipeline_spark.plans.gold import (
+        gold_pending_epochs,
+        update_gold,
+    )
+
+    wh = str(tmp_path / "wh_gold_late")
+    eng = CdcEngine(spark, wh, n_buckets=8, write_salt=1)
+    eng.init_tables()
+    # land 0, 2, 3 — epoch 1 is delayed
+    for e in [0, 2, 3]:
+        eng.ingest_epoch_pandas(generate_epoch(CFG, e), e)
+    eng.replay()
+    assert update_gold(eng)["mode"] == "full"  # first build
+    assert gold_pending_epochs(eng) == []
+
+    # epoch 1 lands late, below the checkpoint (=3). While unreplayed it is
+    # NOT consumable: gold must neither refresh from stale silver nor mark it.
+    eng.ingest_epoch_pandas(generate_epoch(CFG, 1), 1)
+    assert gold_pending_epochs(eng) == []
+    assert update_gold(eng)["mode"] == "noop"
+
+    # replay heals the gap (checkpoint stays at 3) -> epoch 1 becomes pending
+    eng.replay(catchup=False)
+    assert int(eng.checkpoint()["last_epoch"]) == 3
+    assert gold_pending_epochs(eng) == [1]
+    info = update_gold(eng)
+    assert info["mode"] == "incremental"
+    assert gold_pending_epochs(eng) == []
+    assert update_gold(eng)["mode"] == "noop"
+
+    # gold now equals a full rebuild over final silver
+    silver = eng.silver_view()
+    for table in ["gold.conv_stats", "gold.running_turns", "gold.quality_flags",
+                  "gold.tool_conv_counts"]:
+        got = _sorted_pdf(eng.catalog.load_table(table).read())
+        want = _sorted_pdf(_conv_plans(silver)[table])
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=table)
