@@ -1,21 +1,33 @@
 """Max-flow network analysis (SURVEY §2.8 N3/N4) — Spark-first split.
 
-Reference behavior (``citibike/networks/analysis.py:66-127``): build a
+Reference behavior (``citibike/networks/analysis.py:66-191``): build a
 node-split flow network from hub capacities + inter-hub edges (edge capacity
 = min of endpoint capacities, ``analysis.py:78-85``), connect pure sources /
-pure sinks to a super source / super sink (``:87-107``), and run
-``nx.maximum_flow`` / ``edmonds_karp`` (``:117,136``) — all DRIVER-side on a
-small aggregated graph extracted from the warehouse.
+pure sinks to a super source / super sink (``:87-107``), run
+``nx.maximum_flow`` / ``edmonds_karp`` (``:117,136``), then classify hubs by
+residual-graph reachability (``:129-191``): *critical* nodes (whose capacity
+decrease reduces max flow — node_in reachable from the super source in the
+positive residual, node_out not) and *bottleneck* nodes (whose capacity
+increase raises max flow — node_in forward-reachable AND node_out
+backward-reachable from the super sink) — all DRIVER-side on a small
+aggregated graph extracted from the warehouse.
 
-The Spark-first equivalent keeps the same shape: the heavy part — reducing
-the fact table to a bounded hub graph (top-K nodes by traffic + their edge
-weights) — is distributed DataFrame aggregation; the augmenting-path search,
-which is inherently sequential and operates on a few-hundred-node graph,
-runs as deterministic pure-Python Edmonds-Karp on the collected result
-(bounded by K, not by data size — exactly the reference's NetworkX usage,
-minus the library). No oracle: iterative augmenting-path max-flow is not
-expressible in the DuckDB SQL subset, so the driver records the rows-only
-check for this entry.
+The Spark-first equivalent keeps the same shape, split for verifiability:
+
+- ``q32a_flow_reduction`` — the HEAVY part: reducing the fact table to the
+  bounded hub graph (top-K nodes per side by traffic + inter-hub edge
+  weights) is distributed DataFrame aggregation, plain SQL, and carries a
+  DuckDB oracle (hash-checked).
+- ``q32_max_flow`` — the same reduction feeding the augmenting-path search,
+  which is inherently sequential and operates on a few-hundred-node graph:
+  deterministic pure-Python Edmonds-Karp + residual BFS classification on
+  the collected result (bounded by K, not by data size — exactly the
+  reference's NetworkX usage, minus the library). Iterative max-flow is not
+  expressible in the DuckDB SQL subset, so this entry is rows-only at the
+  driver gate; the solve is pinned by pytest against ``nx.maximum_flow`` on
+  the real testdata reduction and the classification cross-validated against
+  an independent networkx residual-reachability implementation
+  (tests/test_flow.py).
 """
 
 from __future__ import annotations
@@ -81,10 +93,70 @@ def _edmonds_karp(adj: dict[str, dict[str, float]], s: str, t: str):
         total += aug
 
 
-def q32_max_flow(spark: SparkSession, sf: str, top_k: int = TOP_K) -> DataFrame:
-    li = T(spark, sf, "lineitem")
+def _positive_residual(
+    adj: dict[str, dict[str, float]], flow: dict[str, dict[str, float]]
+) -> dict[str, set[str]]:
+    """Adjacency of the positive-residual graph after a max flow: forward
+    edges with spare capacity plus reverse arcs carrying flow (the
+    ``capacity > flow`` subgraph of ``analysis.py:140-145``)."""
+    res: dict[str, set[str]] = {}
+    for u, nbrs in adj.items():
+        for v, cap in nbrs.items():
+            f = flow.get(u, {}).get(v, 0.0)
+            if cap - f > 0:
+                res.setdefault(u, set()).add(v)
+            if f > 0:
+                res.setdefault(v, set()).add(u)
+    return res
 
-    # -- distributed reduction to the bounded hub graph --------------------
+
+def _reach(res: dict[str, set[str]], start: str, reverse: bool = False) -> set[str]:
+    """BFS reachability over the positive residual; ``reverse=True`` walks
+    incoming arcs (ancestors-of-sink, ``nx.ancestors`` in analysis.py:177)."""
+    g = res
+    if reverse:
+        g = {}
+        for u, vs in res.items():
+            for v in vs:
+                g.setdefault(v, set()).add(u)
+    seen = {start}
+    q = deque([start])
+    while q:
+        u = q.popleft()
+        for v in g.get(u, ()):  # deterministic not needed: set semantics
+            if v not in seen:
+                seen.add(v)
+                q.append(v)
+    return seen
+
+
+def classify_hubs(
+    adj: dict[str, dict[str, float]],
+    flow: dict[str, dict[str, float]],
+    hubs: list[str],
+) -> dict[str, tuple[bool, bool]]:
+    """Residual-reachability hub classification (analysis.py:129-191):
+    critical = node_in reachable from the super source, node_out not
+    (capacity decrease reduces max flow — the canonical min cut);
+    bottleneck = node_in forward-reachable AND node_out backward-reachable
+    from the super sink (capacity increase raises max flow)."""
+    res = _positive_residual(adj, flow)
+    fwd = _reach(res, SUPER_SOURCE)
+    bwd = _reach(res, SUPER_SINK, reverse=True)
+    return {
+        h: (
+            f"{h}_in" in fwd and f"{h}_out" not in fwd,
+            f"{h}_in" in fwd and f"{h}_out" in bwd,
+        )
+        for h in hubs
+    }
+
+
+def _hub_graph(spark: SparkSession, sf: str, top_k: int):
+    """The distributed reduction shared by q32a and q32: top-K supplier and
+    part hubs by traffic + inter-hub edge weights. Suppliers feed parts —
+    a bipartite flow network (the reference's station hub graph analog)."""
+    li = T(spark, sf, "lineitem")
     sup = (
         li.groupBy(F.concat(F.lit("s"), F.col("l_suppkey")).alias("node"))
         .agg(F.count(F.lit(1)).alias("capacity"))
@@ -97,7 +169,6 @@ def q32_max_flow(spark: SparkSession, sf: str, top_k: int = TOP_K) -> DataFrame:
         .orderBy(F.desc("capacity"), "node")
         .limit(top_k)
     )
-    hubs = sup.unionByName(part)
     edges = (
         li.select(
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
@@ -108,11 +179,63 @@ def q32_max_flow(spark: SparkSession, sf: str, top_k: int = TOP_K) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
     )
+    return sup, part, edges
 
-    hub_rows = {r.node: int(r.capacity) for r in hubs.collect()}  # ≤ 2K rows
-    edge_rows = [(r.src, r.dst) for r in edges.collect()]          # ≤ K² rows
 
-    # -- node-split capacity network (analysis.py:66-107 semantics) --------
+def q32a_flow_reduction(spark: SparkSession, sf: str, top_k: int = TOP_K) -> DataFrame:
+    """The oracle-checked HALF of the max-flow pipeline: everything that
+    touches big data. Output unions hub capacities ('supplier'/'part' rows,
+    peer NULL) with inter-hub edge weights ('edge' rows) so the whole graph
+    the driver-side solve consumes is hash-attested against DuckDB."""
+    sup, part, edges = _hub_graph(spark, sf, top_k)
+    null_peer = F.lit(None).cast("string").alias("peer")
+
+    def hub_rows(df: DataFrame, kind: str) -> DataFrame:
+        return df.select(
+            "node", F.lit(kind).alias("kind"), null_peer,
+            F.col("capacity").alias("weight"),
+        )
+
+    edge_rows = edges.select(
+        F.col("src").alias("node"), F.lit("edge").alias("kind"),
+        F.col("dst").alias("peer"), F.col("w").alias("weight"),
+    )
+    return hub_rows(sup, "supplier").unionByName(hub_rows(part, "part")).unionByName(edge_rows)
+
+
+Q32A_SQL = f"""
+WITH sup AS (
+  SELECT 's' || l_suppkey AS node, COUNT(*) AS capacity
+  FROM lineitem GROUP BY 1 ORDER BY capacity DESC, node LIMIT {TOP_K}
+),
+part AS (
+  SELECT 'p' || l_partkey AS node, COUNT(*) AS capacity
+  FROM lineitem GROUP BY 1 ORDER BY capacity DESC, node LIMIT {TOP_K}
+),
+edges AS (
+  SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst, COUNT(*) AS w
+  FROM lineitem
+  WHERE 's' || l_suppkey IN (SELECT node FROM sup)
+    AND 'p' || l_partkey IN (SELECT node FROM part)
+  GROUP BY 1, 2
+)
+SELECT node, 'supplier' AS kind, CAST(NULL AS VARCHAR) AS peer,
+       CAST(capacity AS BIGINT) AS weight FROM sup
+UNION ALL
+SELECT node, 'part' AS kind, CAST(NULL AS VARCHAR) AS peer,
+       CAST(capacity AS BIGINT) AS weight FROM part
+UNION ALL
+SELECT src AS node, 'edge' AS kind, dst AS peer, CAST(w AS BIGINT) AS weight
+FROM edges
+"""
+
+
+def build_flow_network(
+    hub_rows: dict[str, int], edge_rows: list[tuple[str, str]]
+) -> dict[str, dict[str, float]]:
+    """Node-split capacity network (analysis.py:66-107 semantics): each hub
+    becomes hub_in --cap--> hub_out; inter-hub edges carry
+    min(endpoint capacities); pure sources/sinks hang off the super pair."""
     adj: dict[str, dict[str, float]] = {}
     for node, cap in hub_rows.items():
         adj.setdefault(f"{node}_in", {})[f"{node}_out"] = float(cap)
@@ -125,22 +248,38 @@ def q32_max_flow(spark: SparkSession, sf: str, top_k: int = TOP_K) -> DataFrame:
             adj.setdefault(SUPER_SOURCE, {})[f"{node}_in"] = _INF
         else:
             adj.setdefault(f"{node}_out", {})[SUPER_SINK] = _INF
+    return adj
 
+
+def q32_max_flow(spark: SparkSession, sf: str, top_k: int = TOP_K) -> DataFrame:
+    sup, part, edges = _hub_graph(spark, sf, top_k)
+    hubs = sup.unionByName(part)
+
+    hub_rows = {r.node: int(r.capacity) for r in hubs.collect()}  # ≤ 2K rows
+    edge_rows = [(r.src, r.dst) for r in edges.collect()]          # ≤ K² rows
+
+    adj = build_flow_network(hub_rows, edge_rows)
     value, flow = _edmonds_karp(adj, SUPER_SOURCE, SUPER_SINK)
+    marks = classify_hubs(adj, flow, list(hub_rows))
 
-    # per-hub throughput = flow across its node-split edge
+    # per-hub throughput = flow across its node-split edge, plus the
+    # residual-reachability classification (analysis.py:129-191)
     out = [
         (
             node,
             "supplier" if node.startswith("s") else "part",
             int(cap),
             int(flow.get(f"{node}_in", {}).get(f"{node}_out", 0.0)),
+            marks[node][0],
+            marks[node][1],
         )
         for node, cap in sorted(hub_rows.items())
     ]
-    out.append(("__max_flow__", "total", int(value), int(value)))
+    out.append(("__max_flow__", "total", int(value), int(value), False, False))
     df = spark.createDataFrame(
-        out, "node string, kind string, capacity long, flow long"
+        out,
+        "node string, kind string, capacity long, flow long, "
+        "is_critical boolean, is_bottleneck boolean",
     )
     return df.select(
         "node", "kind", "capacity", "flow",
@@ -148,14 +287,16 @@ def q32_max_flow(spark: SparkSession, sf: str, top_k: int = TOP_K) -> DataFrame:
             F.when(F.col("capacity") > 0, F.col("flow") / F.col("capacity")).otherwise(0.0),
             6,
         ).alias("utilization"),
+        "is_critical", "is_bottleneck",
     )
 
 
 # Iterative augmenting-path max-flow is outside the DuckDB SQL subset — the
-# driver records the rows-only check for this entry (the documented weaker
-# gate for non-SQL-expressible ops).
+# driver records the rows-only check for q32 itself; its INPUT graph is the
+# hash-attested q32a result and the solve is pinned vs networkx in pytest.
 Q32_SQL = None
 
 FLOW = {
+    "q32a_flow_reduction": (q32a_flow_reduction, Q32A_SQL),
     "q32_max_flow": (q32_max_flow, Q32_SQL),
 }
