@@ -351,10 +351,44 @@ D06_SQL = _simhash_sql()
 # --------------------------------------------------------------------------
 # d07: n-gram Jaccard similarity pairs within source (bounded pair space) —
 # explode distinct shingles, equi-join on shingle, |A∩B| / (|A|+|B|-|A∩B|)
+#
+# The raw synthetic corpus has almost no organic shingle overlap (the r2
+# gate passed on 1 row — near-zero signal), so deterministic overlap pairs
+# are PLANTED identically in Spark and the oracle (the e03 pattern,
+# embeddings.py): every 40th document gains a near-identical copy (first two
+# words dropped, Jaccard ≳ 0.9) and every (40k+7)th a half-overlap copy
+# (tail half of the words, Jaccard ≈ 0.5), exercising the join across two
+# similarity levels.
 # --------------------------------------------------------------------------
 
+PLANT_EVERY = 40          # cohort stride over doc_id
+PLANT_MID_PHASE = 7       # offset picking the half-overlap cohort
+PLANT_ID_HI = 1_000_000   # id offset: near-identical copies
+PLANT_ID_MID = 2_000_000  # id offset: half-overlap copies
+PLANT_MIN_WORDS = 8       # skip docs too short to slice meaningfully
+
+
+def _planted_overlap_docs(docs: DataFrame) -> DataFrame:
+    w = _words()
+    long_enough = F.size(w) >= PLANT_MIN_WORDS
+    hi = docs.filter((F.col("doc_id") % PLANT_EVERY == 0) & long_enough).select(
+        (F.col("doc_id") + PLANT_ID_HI).alias("doc_id"),
+        "source",
+        F.array_join(F.slice(w, 3, F.size(w)), " ").alias("text"),
+    )
+    mid_start = F.floor(F.size(w) / 2).cast("int")
+    mid = docs.filter(
+        (F.col("doc_id") % PLANT_EVERY == PLANT_MID_PHASE) & long_enough
+    ).select(
+        (F.col("doc_id") + PLANT_ID_MID).alias("doc_id"),
+        "source",
+        F.array_join(F.slice(w, mid_start, F.size(w)), " ").alias("text"),
+    )
+    return docs.select("doc_id", "source", "text").unionByName(hi).unionByName(mid)
+
+
 def d07_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    docs = T(spark, sf, "documents")
+    docs = _planted_overlap_docs(T(spark, sf, "documents"))
     sh = docs.select(
         "doc_id", "source", F.explode(F.array_distinct(_word_bigrams())).alias("shingle")
     )
@@ -388,13 +422,29 @@ def d07_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-D07_SQL = """
-WITH sh AS (
+D07_SQL = f"""
+WITH ws AS (
+  SELECT doc_id, source, text, string_split(text, ' ') AS w FROM documents
+),
+aug AS (
+  SELECT doc_id, source, text FROM ws
+  UNION ALL
+  SELECT doc_id + {PLANT_ID_HI}, source,
+         array_to_string(list_slice(w, 3, len(w)), ' ')
+  FROM ws WHERE doc_id % {PLANT_EVERY} = 0 AND len(w) >= {PLANT_MIN_WORDS}
+  UNION ALL
+  SELECT doc_id + {PLANT_ID_MID}, source,
+         array_to_string(
+           list_slice(w, CAST(FLOOR(len(w) / 2) AS INT), len(w)), ' ')
+  FROM ws WHERE doc_id % {PLANT_EVERY} = {PLANT_MID_PHASE}
+    AND len(w) >= {PLANT_MIN_WORDS}
+),
+sh AS (
   SELECT doc_id, source,
          UNNEST(list_distinct(list_transform(
            generate_series(1, GREATEST(len(string_split(text,' '))-1,1)),
            i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))) AS shingle
-  FROM documents
+  FROM aug
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
