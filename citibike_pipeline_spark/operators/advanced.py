@@ -491,6 +491,162 @@ FROM {prev} WHERE dist > 0 GROUP BY seed
 Q31_SQL = _closeness_sql()
 
 
+# --------------------------------------------------------------------------
+# q33: truncated betweenness centrality (§2.8 N2 — the last sub-item,
+# ≙ nx.betweenness_centrality in citibike/networks/analysis.py:60).
+# Exact Brandes is inherently sequential per source; the Spark-first shape
+# is (a) a distributed reduction to a bounded hub graph (top-K nodes per
+# side, same contract as q32a), then (b) shortest-path COUNTING over paths
+# of length ≤ 3 expressed as edge self-joins — deterministic, one bounded
+# shuffle per hop, and oracle-expressible. On the undirected bipartite hub
+# graph all same-side pairs sit at distance 2 and cross-side at 1 or 3, so
+# the ≤3 truncation covers every finite pair unless the graph is
+# disconnected (then, like q31's truncation, farther pairs are excluded by
+# construction — documented truncated semantics, pinned vs networkx in
+# tests/test_graph_metrics.py).
+# B(v) = Σ_{s<t, d(s,t)≤3} σ_st(v) / σ_st  (unnormalized, unordered pairs)
+# --------------------------------------------------------------------------
+
+_BC_TOP = 12  # hubs per side — bounds the path-counting joins at 24 nodes
+
+
+def q33_betweenness(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem")
+
+    def top_nodes(prefix: str, col: str) -> DataFrame:
+        return (
+            li.groupBy(F.concat(F.lit(prefix), F.col(col)).alias("node"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), "node")
+            .limit(_BC_TOP)
+            .select("node")
+        )
+
+    sup, part = top_nodes("s", "l_suppkey"), top_nodes("p", "l_partkey")
+    e0 = (
+        li.select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("a"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("b"),
+        )
+        .join(F.broadcast(sup.withColumnRenamed("node", "a")), "a")
+        .join(F.broadcast(part.withColumnRenamed("node", "b")), "b")
+        .distinct()
+    )
+    # undirected walk space over the bounded graph (≤ 2·K² edge rows)
+    edges = e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+
+    d1 = edges.filter(F.col("a") < F.col("b")).select(
+        F.col("a").alias("s"), F.col("b").alias("t")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    w2 = e1.join(
+        e2, (F.col("e1.b") == F.col("e2.a")) & (F.col("e1.a") < F.col("e2.b"))
+    ).select(
+        F.col("e1.a").alias("s"), F.col("e1.b").alias("m"), F.col("e2.b").alias("t")
+    )
+    # distance exactly 2: drop pairs with a direct edge
+    d2 = w2.join(d1, ["s", "t"], "left_anti")
+    sig2 = d2.groupBy("s", "t").agg(F.count(F.lit(1)).alias("sigma"))
+    bc2 = d2.join(sig2, ["s", "t"]).select(
+        F.col("m").alias("node"), (F.lit(1.0) / F.col("sigma")).alias("contrib")
+    )
+
+    w3 = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(e3, F.col("e2.b") == F.col("e3.a"))
+        .filter(
+            (F.col("e1.a") < F.col("e3.b"))
+            & (F.col("e1.b") != F.col("e3.b"))
+            & (F.col("e2.b") != F.col("e1.a"))
+        )
+        .select(
+            F.col("e1.a").alias("s"), F.col("e1.b").alias("m1"),
+            F.col("e2.b").alias("m2"), F.col("e3.b").alias("t"),
+        )
+    )
+    # distance exactly 3: no direct edge and no 2-path
+    d3 = w3.join(d1, ["s", "t"], "left_anti").join(
+        sig2.select("s", "t"), ["s", "t"], "left_anti"
+    )
+    sig3 = d3.groupBy("s", "t").agg(F.count(F.lit(1)).alias("sigma"))
+    bc3 = (
+        d3.join(sig3, ["s", "t"])
+        .select(
+            F.explode(F.array("m1", "m2")).alias("node"),
+            (F.lit(1.0) / F.col("sigma")).alias("contrib"),
+        )
+    )
+
+    contribs = bc2.unionByName(bc3).groupBy("node").agg(
+        F.sum("contrib").alias("bc")
+    )
+    return (
+        sup.unionByName(part)
+        .join(contribs, "node", "left")
+        .select(
+            "node",
+            F.round(F.coalesce(F.col("bc"), F.lit(0.0)), 6).alias("betweenness"),
+        )
+    )
+
+
+Q33_SQL = f"""
+WITH sup AS (
+  SELECT 's' || l_suppkey AS node, COUNT(*) AS c
+  FROM lineitem GROUP BY 1 ORDER BY c DESC, node LIMIT {_BC_TOP}
+),
+part AS (
+  SELECT 'p' || l_partkey AS node, COUNT(*) AS c
+  FROM lineitem GROUP BY 1 ORDER BY c DESC, node LIMIT {_BC_TOP}
+),
+e0 AS (
+  SELECT DISTINCT 's' || l_suppkey AS a, 'p' || l_partkey AS b
+  FROM lineitem
+  WHERE 's' || l_suppkey IN (SELECT node FROM sup)
+    AND 'p' || l_partkey IN (SELECT node FROM part)
+),
+edges AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+d1 AS (SELECT a AS s, b AS t FROM edges WHERE a < b),
+w2 AS (
+  SELECT e1.a AS s, e1.b AS m, e2.b AS t
+  FROM edges e1 JOIN edges e2 ON e1.b = e2.a AND e1.a < e2.b
+),
+d2 AS (
+  SELECT * FROM w2
+  WHERE NOT EXISTS (SELECT 1 FROM d1 WHERE d1.s = w2.s AND d1.t = w2.t)
+),
+sig2 AS (SELECT s, t, COUNT(*) AS sigma FROM d2 GROUP BY s, t),
+bc2 AS (
+  SELECT d2.m AS node, 1.0 / sig2.sigma AS contrib
+  FROM d2 JOIN sig2 ON d2.s = sig2.s AND d2.t = sig2.t
+),
+w3 AS (
+  SELECT e1.a AS s, e1.b AS m1, e2.b AS m2, e3.b AS t
+  FROM edges e1
+  JOIN edges e2 ON e1.b = e2.a
+  JOIN edges e3 ON e2.b = e3.a
+  WHERE e1.a < e3.b AND e1.b != e3.b AND e2.b != e1.a
+),
+d3 AS (
+  SELECT * FROM w3
+  WHERE NOT EXISTS (SELECT 1 FROM d1 WHERE d1.s = w3.s AND d1.t = w3.t)
+    AND NOT EXISTS (SELECT 1 FROM sig2 WHERE sig2.s = w3.s AND sig2.t = w3.t)
+),
+sig3 AS (SELECT s, t, COUNT(*) AS sigma FROM d3 GROUP BY s, t),
+bc3 AS (
+  SELECT UNNEST([m1, m2]) AS node, 1.0 / sig3.sigma AS contrib
+  FROM d3 JOIN sig3 ON d3.s = sig3.s AND d3.t = sig3.t
+),
+contribs AS (
+  SELECT node, SUM(contrib) AS bc
+  FROM (SELECT * FROM bc2 UNION ALL SELECT * FROM bc3) GROUP BY node
+),
+all_nodes AS (SELECT node FROM sup UNION ALL SELECT node FROM part)
+SELECT all_nodes.node, ROUND(COALESCE(contribs.bc, 0.0), 6) AS betweenness
+FROM all_nodes LEFT JOIN contribs ON all_nodes.node = contribs.node
+"""
+
+
 ADVANCED = {
     "q25_reconstructed_ids": (q25_reconstructed_ids, Q25_SQL),
     "q26_grouped_apply_stats": (q26_grouped_apply_stats, Q26_SQL),
@@ -499,4 +655,5 @@ ADVANCED = {
     "q29_spatial_enrichment": (q29_spatial_enrichment, Q29_SQL),
     "q30_holiday_spine": (q30_holiday_spine, Q30_SQL),
     "q31_closeness": (q31_closeness, Q31_SQL),
+    "q33_betweenness": (q33_betweenness, Q33_SQL),
 }
