@@ -86,11 +86,22 @@ class CdcEngine:
         write_salt: int = 4,
         hot_key_threshold: int = 50_000,
         merge_mode: str = "cow",
+        mor_autocompact_deltas: int | None = 16,
+        day_partition: bool = False,
     ):
         if merge_mode not in ("cow", "mor"):
             raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
         self.spark = spark
         self.merge_mode = merge_mode
+        # mor failure mode is unbounded read amplification from accumulated
+        # deltas: fold them back into the base once this many delta commits
+        # stack up (None = caller-driven compaction only)
+        self.mor_autocompact_deltas = mor_autocompact_deltas
+        # SURVEY §4 partition spec at full width: days(ts) × bucket(conv_id).
+        # The day axis prunes time-scoped analytics + retention; the bucket
+        # axis prunes key-scoped merges. Off by default for tiny epochs
+        # (days × buckets × salt small-file pressure); turn on at scale.
+        self.day_partition = day_partition
         self.warehouse = warehouse
         self.catalog = LakeCatalog(spark, warehouse)
         self.n_buckets = n_buckets
@@ -120,6 +131,7 @@ class CdcEngine:
                 bucket_cols=["conv_id"],
                 n_buckets=self.n_buckets,
                 write_salt=self.write_salt,
+                day_col="ts" if self.day_partition else None,
             )
 
     @staticmethod
@@ -162,8 +174,37 @@ class CdcEngine:
                 fields.append(StructField(c, StringType(), True))
             self.bronze.evolve_schema(StructType(fields + meta))
         self.bronze.append_epoch_pandas(
-            pdf.reindex(columns=[f.name for f in self.bronze.schema().fields]), epoch
+            pdf.reindex(columns=[f.name for f in self.bronze.schema().fields]),
+            epoch,
+            bucket_spec=self._silver_bucket_spec(),
         )
+
+    def _silver_bucket_spec(self) -> tuple[list[str], int]:
+        """The bucket layout landing stats should pre-hash against — the live
+        silver snapshot's spec when the table exists, else the engine config
+        (init_tables will create silver with exactly these values)."""
+        if self.catalog.table_exists("silver.transcript_turns"):
+            snap = self.silver.current_snapshot()
+            return (list(snap.bucket_cols), int(snap.n_buckets))
+        return (["conv_id"], self.n_buckets)
+
+    def _buckets_from_landing(self, epochs: list[int]) -> list[int] | None:
+        """Union of landing-time touched-bucket sets for the given epochs —
+        None if any epoch lacks them or was hashed against a different bucket
+        spec (legacy landing, re-bucketed silver), in which case the merge
+        falls back to its own distinct+collect. A set recorded for the WHOLE
+        epoch may be a superset of the still-uncommitted partitions' buckets
+        after a partial retry — sound for pruning (never misses a bucket),
+        marginally wider than minimal."""
+        cols, n = self._silver_bucket_spec()
+        want = {"cols": list(cols), "n": int(n)}
+        out: set[int] = set()
+        for e in epochs:
+            rec = self.bronze.epoch_stats(e)
+            if rec is None or rec.get("bucket_spec") != want or rec.get("buckets") is None:
+                return None
+            out.update(int(b) for b in rec["buckets"])
+        return sorted(out)
 
     # -- exactly-once bookkeeping ---------------------------------------------
 
@@ -246,7 +287,14 @@ class CdcEngine:
 
         return resolve
 
-    def _apply_changes(self, silver, changes: DataFrame, n_events: int, summary: dict) -> dict:
+    def _apply_changes(
+        self,
+        silver,
+        changes: DataFrame,
+        n_events: int,
+        summary: dict,
+        touched_buckets: list[int] | None = None,
+    ) -> dict:
         """Apply a reconciled change-set under the configured merge mode.
 
         cow (default): copy-on-write MERGE — resolve (target ∪ changes) with
@@ -271,12 +319,16 @@ class CdcEngine:
             )
             snap = silver.append(deduped, summary={**summary, "mode": "mor_delta"})
             return {"buckets_touched": 0, "snapshot_id": snap.snapshot_id}
+        # Landing-time bucket stats make pruning free (no distinct+collect
+        # job), so they win whenever present; without them the table-relative
+        # heuristic decides whether the collect pays for itself.
         return merge_into(
             silver,
             changes,
             resolver=self._lww_resolver(),
             summary=summary,
-            prune_buckets=self._should_prune(n_events),
+            prune_buckets=touched_buckets is not None or self._should_prune(n_events),
+            touched_buckets=touched_buckets,
         )
 
     def _should_prune(self, n_events: int) -> bool:
@@ -398,7 +450,10 @@ class CdcEngine:
             silver.schema(),
         )
 
-        stats = self._apply_changes(silver, changes, n_events, {"epoch": epoch})
+        stats = self._apply_changes(
+            silver, changes, n_events, {"epoch": epoch},
+            touched_buckets=self._buckets_from_landing([epoch]),
+        )
 
         # manifests AFTER the atomic snapshot commit; a crash in between is
         # safe because LWW re-application is a semantic no-op (see module doc)
@@ -411,6 +466,8 @@ class CdcEngine:
             "events_read": n_events,
             "partitions": len(part_stats),
             "buckets_touched": stats["buckets_touched"],
+            "buckets_precomputed": bool(stats.get("buckets_precomputed", False)),
+            "sec_touched_collect": stats.get("sec_touched_collect"),
             "hot_convs": hot,
             "snapshot_id": stats["snapshot_id"],
             "wall_sec": wall,
@@ -485,7 +542,8 @@ class CdcEngine:
         )
         _t = time.time()
         stats = self._apply_changes(
-            silver, changes, n_events, {"epochs": [min(epochs), max(epochs)]}
+            silver, changes, n_events, {"epochs": [min(epochs), max(epochs)]},
+            touched_buckets=self._buckets_from_landing(epochs),
         )
         phases["merge"] = round(time.time() - _t, 2)
 
@@ -502,6 +560,7 @@ class CdcEngine:
             "events_read": n_events,
             "partitions": len(part_stats),
             "buckets_touched": stats["buckets_touched"],
+            "buckets_precomputed": bool(stats.get("buckets_precomputed", False)),
             "hot_convs": hot,
             "snapshot_id": stats["snapshot_id"],
             "wall_sec": wall,
@@ -549,8 +608,15 @@ class CdcEngine:
         if not pending:
             return []
         if catchup and len(pending) > 1:
-            return [self.apply_epochs(pending)]
-        return [self.apply_epoch(e) for e in pending]
+            out = [self.apply_epochs(pending)]
+        else:
+            out = [self.apply_epoch(e) for e in pending]
+        # post-apply housekeeping: bounded mor read amplification (no-op
+        # under cow or below the delta-depth threshold)
+        auto = self.maybe_autocompact()
+        if auto is not None:
+            out[-1]["autocompact"] = auto
+        return out
 
     def touched_convs(self, epochs: list[int]) -> DataFrame:
         """Distinct conversations changed by the given epochs — the scope of
@@ -583,6 +649,48 @@ class CdcEngine:
         return (
             self.silver_resolved().filter(F.col("op") != "D").drop("op", "ingest_epoch")
         )
+
+    def mor_delta_depth(self) -> int:
+        """Consecutive delta-append commits since the last base fold —
+        the read-amplification measure the autocompact policy bounds.
+        Walks parent pointers; in steady state the walk is bounded by the
+        autocompact threshold (and by snapshot expiry after each compact)."""
+        snap = self.silver.current_snapshot()
+        depth = 0
+        while snap is not None:
+            op = snap.summary.get("operation")
+            if snap.summary.get("mode") == "mor_delta":
+                depth += 1
+            elif op not in ("add_columns",):
+                # create/overwrite/replace_buckets rewrote (or seeded) the
+                # base — deltas below it are folded; metadata-only commits
+                # (add_columns) neither add nor fold deltas, keep walking
+                break
+            if snap.parent_id is None:
+                break
+            snap = self.silver.get_snapshot(snap.parent_id)
+        return depth
+
+    def maybe_autocompact(self) -> dict | None:
+        """Fold accumulated mor deltas once the depth crosses the policy
+        threshold. Called by replay() AFTER manifests and the checkpoint are
+        committed, so the fold sits off the apply path's critical section —
+        a crash mid-compact loses nothing (the next resolve reads the same
+        base ∪ deltas). Tombstones are retained (no watermark)."""
+        if self.merge_mode != "mor" or self.mor_autocompact_deltas is None:
+            return None
+        depth = self.mor_delta_depth()
+        if depth < self.mor_autocompact_deltas:
+            return None
+        t0 = time.time()
+        info = self.compact()
+        return {
+            "autocompact": True,
+            "deltas_folded": depth,
+            "snapshot_id": info["snapshot_id"],
+            "files_removed": info["files_removed"],
+            "wall_sec": round(time.time() - t0, 2),
+        }
 
     def compact(self, watermark_lsn: int | None = None) -> dict:
         """Purge tombstones at-or-below the replay low-watermark + expire

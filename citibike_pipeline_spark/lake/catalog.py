@@ -37,6 +37,7 @@ class LakeCatalog:
         bucket_cols: list[str] | None = None,
         write_salt: int = 4,
         if_not_exists: bool = False,
+        day_col: str | None = None,
     ) -> LakeTable:
         path = self._path(name)
         t = LakeTable(self.spark, path)
@@ -45,7 +46,8 @@ class LakeCatalog:
                 return t
             raise ValueError(f"table {name} already exists at {path}")
         return LakeTable.create(
-            self.spark, path, schema, key_cols, n_buckets, bucket_cols, write_salt
+            self.spark, path, schema, key_cols, n_buckets, bucket_cols, write_salt,
+            day_col=day_col,
         )
 
     def load_table(self, name: str) -> LakeTable:

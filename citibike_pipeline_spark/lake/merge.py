@@ -65,8 +65,17 @@ def merge_into(
     resolver: Callable[[DataFrame, DataFrame], DataFrame] | None = None,
     summary: dict | None = None,
     prune_buckets: bool = True,
+    touched_buckets: list[int] | None = None,
 ) -> dict:
     """Apply a deduped keyed change-set (with `op` in I/U/D) to the table.
+
+    ``touched_buckets`` is the steady-state fast path: the caller already
+    knows which buckets the change-set hashes into (e.g. from WAL
+    landing-time stats — bucket = f(key, n_buckets) is computable the moment
+    the epoch lands), so the merge skips BOTH the touched-bucket
+    distinct+collect job and the change-set persist that backed its second
+    consumption. A superset is sound (extra buckets are rewritten
+    identically); a wrong spec is the caller's responsibility to invalidate.
 
     ``prune_buckets=False`` is the catch-up fast path: the caller asserts the
     change-set plausibly touches every bucket, so the merge reads the full
@@ -89,6 +98,21 @@ def merge_into(
             "buckets_touched": len(touched),
             "snapshot_id": new_snap.snapshot_id,
             "sec_touched_collect": 0.0,
+            "sec_resolve_write": round(time.time() - t0, 2),
+        }
+
+    if touched_buckets is not None:
+        touched = sorted(set(touched_buckets))
+        if not touched:
+            return {"buckets_touched": 0, "snapshot_id": snap.snapshot_id}
+        t0 = time.time()
+        merged = resolve(table.read(buckets=touched), changes).select(*cols)
+        new_snap = table.replace_buckets(merged, touched, summary=summary)
+        return {
+            "buckets_touched": len(touched),
+            "snapshot_id": new_snap.snapshot_id,
+            "sec_touched_collect": 0.0,
+            "buckets_precomputed": True,
             "sec_resolve_write": round(time.time() - t0, 2),
         }
 

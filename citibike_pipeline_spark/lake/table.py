@@ -58,6 +58,7 @@ from pyspark.sql.types import StructType
 from . import fs
 
 BUCKET_COL = "_bucket"
+DAY_COL = "_day"
 
 
 def empty_df(spark: SparkSession, schema: StructType) -> DataFrame:
@@ -92,7 +93,8 @@ class Snapshot:
     n_buckets: int
     bucket_cols: list[str] = None  # layout/locality key (e.g. conv_id alone)
     write_salt: int = 4          # hot-bucket write spread (skew splitting)
-    files: list[dict[str, Any]] = field(default_factory=list)  # {path, bucket}
+    day_col: str | None = None   # time-partition dimension (Iceberg days(ts))
+    files: list[dict[str, Any]] = field(default_factory=list)  # {path, bucket[, day]}
     parent_id: int | None = None
     summary: dict[str, Any] = field(default_factory=dict)
 
@@ -103,6 +105,28 @@ class Snapshot:
     def schema(self) -> StructType:
         return StructType.fromJson(json.loads(self.schema_json))
 
+    def child(
+        self,
+        files: list[dict[str, Any]],
+        summary: dict[str, Any],
+        schema_json: str | None = None,
+    ) -> "Snapshot":
+        """Successor snapshot carrying the table spec forward — the ONE place
+        spec fields propagate, so adding a spec field can't silently drop it
+        from some commit type."""
+        return Snapshot(
+            snapshot_id=self.snapshot_id + 1,
+            schema_json=schema_json or self.schema_json,
+            key_cols=self.key_cols,
+            n_buckets=self.n_buckets,
+            bucket_cols=self.bucket_cols,
+            write_salt=self.write_salt,
+            day_col=self.day_col,
+            files=files,
+            parent_id=self.snapshot_id,
+            summary=summary,
+        )
+
     def to_json(self) -> str:
         return json.dumps(
             {
@@ -112,6 +136,7 @@ class Snapshot:
                 "n_buckets": self.n_buckets,
                 "bucket_cols": self.bucket_cols,
                 "write_salt": self.write_salt,
+                "day_col": self.day_col,
                 "files": self.files,
                 "parent_id": self.parent_id,
                 "summary": self.summary,
@@ -128,6 +153,7 @@ class Snapshot:
             n_buckets=d["n_buckets"],
             bucket_cols=d.get("bucket_cols"),
             write_salt=d.get("write_salt", 4),
+            day_col=d.get("day_col"),
             files=d["files"],
             parent_id=d.get("parent_id"),
             summary=d.get("summary", {}),
@@ -155,6 +181,7 @@ class LakeTable:
         n_buckets: int = 32,
         bucket_cols: list[str] | None = None,
         write_salt: int = 4,
+        day_col: str | None = None,
     ) -> "LakeTable":
         t = LakeTable(spark, path)
         fs.makedirs(t._data_dir)
@@ -166,6 +193,7 @@ class LakeTable:
             n_buckets=n_buckets,
             bucket_cols=bucket_cols,
             write_salt=write_salt,
+            day_col=day_col,
             files=[],
             summary={"operation": "create"},
         )
@@ -202,6 +230,14 @@ class LakeTable:
             int(p[1:-5]) for p in fs.listdir(self._snap_dir) if p.endswith(".json")
         )
 
+    def get_snapshot(self, snapshot_id: int) -> "Snapshot | None":
+        """Load one snapshot by id (None if expired/unknown) — parent-pointer
+        walks for commit-history introspection."""
+        p = os.path.join(self._snap_dir, f"v{snapshot_id:09d}.json")
+        if not fs.exists(p):
+            return None
+        return Snapshot.from_json(fs.read_text(p))
+
     def _commit(self, snap: Snapshot) -> None:
         """Atomic commit: write snapshot manifest, then swap the pointer.
 
@@ -215,13 +251,21 @@ class LakeTable:
 
     # -- read ----------------------------------------------------------------
 
-    def read(self, buckets: list[int] | None = None, snapshot_id: int | None = None) -> DataFrame:
-        """Scan the table (optionally bucket-pruned / time-travel).
+    def read(
+        self,
+        buckets: list[int] | None = None,
+        snapshot_id: int | None = None,
+        days: tuple[str | None, str | None] | None = None,
+    ) -> DataFrame:
+        """Scan the table (optionally bucket-pruned / day-pruned / time-travel).
 
-        Bucket pruning is manifest-level: only files whose bucket is in
-        ``buckets`` are listed to Spark at all — the file-skipping equivalent
-        of Iceberg partition pruning / BQ `CLUSTER BY` locality
-        (``raw_trips_current.sql:19``).
+        Pruning is manifest-level: only files whose bucket is in ``buckets``
+        (and, for day-partitioned tables, whose day overlaps the
+        ``days=(lo, hi)`` inclusive range, either bound None = open) are
+        listed to Spark at all — the file-skipping equivalent of Iceberg
+        partition pruning / BQ `PARTITION BY DATE + CLUSTER BY`
+        (``raw_trips_current.sql:18-19``). Files without day metadata
+        (null-ts partitions, legacy commits) are conservatively kept.
         """
         if snapshot_id is None:
             snap = self.current_snapshot()
@@ -234,6 +278,14 @@ class LakeTable:
         if buckets is not None:
             bset = set(buckets)
             files = [f for f in files if f["bucket"] in bset]
+        if days is not None:
+            lo, hi = days
+            files = [
+                f
+                for f in files
+                if f.get("day") is None
+                or ((lo is None or f["day"] >= lo) and (hi is None or f["day"] <= hi))
+            ]
         if not files:
             return empty_df(self.spark, schema)
         # Explicit snapshot schema: files predating an ADD COLUMN evolve by
@@ -258,10 +310,19 @@ class LakeTable:
         out = os.path.join(self._data_dir, uuid.uuid4().hex)
         cols = [f.name for f in snap.schema().fields]
         salt = F.pmod(F.xxhash64(*[F.col(c) for c in snap.key_cols]), F.lit(max(snap.write_salt, 1)))
+        proj = df.select(
+            *cols, bucket_expr(snap.bucket_cols, snap.n_buckets).alias(BUCKET_COL)
+        )
+        part_cols = [BUCKET_COL]
+        if snap.day_col is not None:
+            # Iceberg days(ts) + bucket(key): the day dimension prunes
+            # time-scoped analytics/retention, the bucket dimension prunes
+            # key-scoped merges — files carry both in the manifest
+            proj = proj.withColumn(DAY_COL, F.to_date(F.col(snap.day_col)).cast("string"))
+            part_cols = [DAY_COL, BUCKET_COL]
         plan = (
-            df.select(*cols, bucket_expr(snap.bucket_cols, snap.n_buckets).alias(BUCKET_COL))
-            .repartition(F.col(BUCKET_COL), salt)
-            .write.partitionBy(BUCKET_COL)
+            proj.repartition(*[F.col(c) for c in part_cols], salt)
+            .write.partitionBy(*part_cols)
         )
         # AQE off for the write query only: partition sizing here is fully
         # explicit (shuffle_partitions + bucket/salt repartition + hot-key
@@ -282,27 +343,43 @@ class LakeTable:
             sess.conf.set("spark.sql.adaptive.enabled", prev)
         import pyarrow.parquet as pq
 
+        # Iceberg-style DataFile stats: record count from the parquet footer
+        # at commit time, so row counts are a manifest lookup, never a table
+        # scan. Footer reads are O(files-per-commit) = days × buckets × salt,
+        # driver-side. Paths are stored RELATIVE to the table root so the
+        # warehouse can be relocated / mirrored unchanged.
+        def file_entry(p: str, bucket: int, day: str | None) -> dict[str, Any]:
+            e = {
+                "path": os.path.relpath(p, self.path),
+                "bucket": bucket,
+                "rows": pq.ParquetFile(p).metadata.num_rows,
+            }
+            if day is not None:
+                e["day"] = day
+            return e
+
+        def walk_bucket_dir(root: str, day: str | None) -> list[dict[str, Any]]:
+            got = []
+            for bdir in os.listdir(root):
+                if not bdir.startswith(f"{BUCKET_COL}="):
+                    continue
+                b = int(bdir.split("=")[1])
+                for fn in os.listdir(os.path.join(root, bdir)):
+                    if fn.endswith(".parquet"):
+                        got.append(file_entry(os.path.join(root, bdir, fn), b, day))
+            return got
+
         files: list[dict[str, Any]] = []
-        for bdir in os.listdir(out):
-            if not bdir.startswith(f"{BUCKET_COL}="):
-                continue
-            b = int(bdir.split("=")[1])
-            for fn in os.listdir(os.path.join(out, bdir)):
-                if fn.endswith(".parquet"):
-                    p = os.path.join(out, bdir, fn)
-                    # Iceberg-style DataFile stats: record count from the
-                    # parquet footer at commit time, so row counts are a
-                    # manifest lookup, never a table scan. Footer reads are
-                    # O(files-per-commit) = buckets × salt, driver-side.
-                    # Paths are stored RELATIVE to the table root so the
-                    # warehouse can be relocated / mirrored unchanged.
-                    files.append(
-                        {
-                            "path": os.path.relpath(p, self.path),
-                            "bucket": b,
-                            "rows": pq.ParquetFile(p).metadata.num_rows,
-                        }
-                    )
+        if snap.day_col is None:
+            files = walk_bucket_dir(out, None)
+        else:
+            for ddir in os.listdir(out):
+                if not ddir.startswith(f"{DAY_COL}="):
+                    continue
+                raw = ddir.split("=", 1)[1]
+                # null day (null ts) lands in Hive's default partition
+                day = None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
+                files.extend(walk_bucket_dir(os.path.join(out, ddir), day))
         return files
 
     def stat_row_count(self, snapshot_id: int | None = None) -> int | None:
@@ -328,16 +405,8 @@ class LakeTable:
     def append(self, df: DataFrame, summary: dict[str, Any] | None = None) -> Snapshot:
         snap = self.current_snapshot()
         new_files = self._write_data_files(df, snap)
-        nxt = Snapshot(
-            snapshot_id=snap.snapshot_id + 1,
-            schema_json=snap.schema_json,
-            key_cols=snap.key_cols,
-            n_buckets=snap.n_buckets,
-            bucket_cols=snap.bucket_cols,
-            write_salt=snap.write_salt,
-            files=snap.files + new_files,
-            parent_id=snap.snapshot_id,
-            summary={"operation": "append", **(summary or {})},
+        nxt = snap.child(
+            snap.files + new_files, {"operation": "append", **(summary or {})}
         )
         self._commit(nxt)
         return nxt
@@ -347,17 +416,7 @@ class LakeTable:
         (``analysis.py:216-226``), as one atomic snapshot."""
         snap = self.current_snapshot()
         new_files = self._write_data_files(df, snap)
-        nxt = Snapshot(
-            snapshot_id=snap.snapshot_id + 1,
-            schema_json=snap.schema_json,
-            key_cols=snap.key_cols,
-            n_buckets=snap.n_buckets,
-            bucket_cols=snap.bucket_cols,
-            write_salt=snap.write_salt,
-            files=new_files,
-            parent_id=snap.snapshot_id,
-            summary={"operation": "overwrite", **(summary or {})},
-        )
+        nxt = snap.child(new_files, {"operation": "overwrite", **(summary or {})})
         self._commit(nxt)
         return nxt
 
@@ -376,16 +435,9 @@ class LakeTable:
                     f"replace_buckets: data landed in untouched bucket {f['bucket']}"
                 )
         kept = [f for f in snap.files if f["bucket"] not in bset]
-        nxt = Snapshot(
-            snapshot_id=snap.snapshot_id + 1,
-            schema_json=snap.schema_json,
-            key_cols=snap.key_cols,
-            n_buckets=snap.n_buckets,
-            bucket_cols=snap.bucket_cols,
-            write_salt=snap.write_salt,
-            files=kept + new_files,
-            parent_id=snap.snapshot_id,
-            summary={"operation": "replace_buckets", "buckets": sorted(bset), **(summary or {})},
+        nxt = snap.child(
+            kept + new_files,
+            {"operation": "replace_buckets", "buckets": sorted(bset), **(summary or {})},
         )
         self._commit(nxt)
         return nxt
@@ -413,16 +465,10 @@ class LakeTable:
             added.append(f.name)
         if not added:
             return snap
-        nxt = Snapshot(
-            snapshot_id=snap.snapshot_id + 1,
+        nxt = snap.child(
+            snap.files,
+            {"operation": "add_columns", "columns": added},
             schema_json=json.dumps(schema.jsonValue()),
-            key_cols=snap.key_cols,
-            n_buckets=snap.n_buckets,
-            bucket_cols=snap.bucket_cols,
-            write_salt=snap.write_salt,
-            files=snap.files,
-            parent_id=snap.snapshot_id,
-            summary={"operation": "add_columns", "columns": added},
         )
         self._commit(nxt)
         return nxt

@@ -55,7 +55,13 @@ class BronzeLog:
             raise ValueError(f"bronze schema evolution cannot drop columns: {cur - new}")
         self._write_schema(new_schema)
 
-    def append_epoch(self, df: DataFrame, epoch: int, n_files: int | None = None) -> None:
+    def append_epoch(
+        self,
+        df: DataFrame,
+        epoch: int,
+        n_files: int | None = None,
+        bucket_spec: tuple[list[str], int] | None = None,
+    ) -> None:
         """Land one epoch's events as multiple files + per-partition offset
         stats. Idempotent per (epoch, attempt dir): a retried landing
         overwrites the epoch directory; real deployments land via the same
@@ -93,9 +99,26 @@ class BronzeLog:
             .limit(20)
             .collect()
         ]
-        fs.write_json_atomic(
-            os.path.join(out, "_stats.json"), {"partitions": parts, "top_convs": top}
-        )
+        stats: dict = {"partitions": parts, "top_convs": top}
+        if bucket_spec is not None:
+            # silver buckets this epoch will touch — bucket = f(key cols,
+            # n_buckets) is computable the moment the WAL lands, so the
+            # steady-state merge can skip its touched-bucket distinct+collect
+            # job entirely (bounded: ≤ n_buckets ints). Spec is stored with
+            # the set so a re-bucketed silver invalidates it instead of
+            # mispruning.
+            from ..lake.table import bucket_expr
+
+            cols, n = bucket_spec
+            buckets = sorted(
+                r[0]
+                for r in landed.select(bucket_expr(cols, n).alias("b"))
+                .distinct()
+                .collect()
+            )
+            stats["bucket_spec"] = {"cols": list(cols), "n": int(n)}
+            stats["buckets"] = buckets
+        fs.write_json_atomic(os.path.join(out, "_stats.json"), stats)
 
     def epoch_stats(self, epoch: int) -> dict | None:
         """Landing-time stats: {"partitions": [...], "top_convs": [...]}, or
@@ -108,9 +131,14 @@ class BronzeLog:
             return {"partitions": d, "top_convs": None}
         return d
 
-    def append_epoch_pandas(self, pdf: pd.DataFrame, epoch: int) -> None:
+    def append_epoch_pandas(
+        self,
+        pdf: pd.DataFrame,
+        epoch: int,
+        bucket_spec: tuple[list[str], int] | None = None,
+    ) -> None:
         sdf = self.spark.createDataFrame(pdf, schema=self.schema())
-        self.append_epoch(sdf, epoch)
+        self.append_epoch(sdf, epoch, bucket_spec=bucket_spec)
 
     def read_epoch(self, epoch: int) -> DataFrame:
         """Directory-pruned scan of exactly one epoch."""

@@ -218,3 +218,41 @@ def test_crash_between_snapshot_commit_and_manifest_write(spark, tmp_path):
     pd.testing.assert_frame_equal(silver_pdf(eng2), oracle_pdf(), check_dtype=False)
     # manifests restored; a further replay is a clean no-op
     assert eng2.replay() == []
+
+
+def test_landing_bucket_stats_skip_touched_collect(spark, tmp_path):
+    """Steady-state merges derive touched buckets from WAL landing stats:
+    zero distinct+collect seconds, buckets_precomputed set, parity intact."""
+    eng = new_engine(spark, tmp_path, "wh_landing_buckets")
+    metrics = [m for m in (eng.apply_epoch(e) for e in range(CFG.n_epochs))
+               if not m["skipped"]]
+    assert metrics, "no epochs applied"
+    for m in metrics:
+        assert m["buckets_precomputed"] is True
+        assert m["sec_touched_collect"] == 0.0
+        assert m["buckets_touched"] > 0
+    # the landing record carries the bucket set + the spec it was hashed for
+    rec = eng.bronze.epoch_stats(0)
+    snap = eng.silver.current_snapshot()
+    assert rec["bucket_spec"] == {"cols": list(snap.bucket_cols),
+                                  "n": snap.n_buckets}
+    assert rec["buckets"] == sorted(set(rec["buckets"]))
+    assert all(0 <= b < snap.n_buckets for b in rec["buckets"])
+    assert silver_pdf(eng).equals(oracle_pdf())
+
+
+def test_spec_mismatch_falls_back_to_collect(spark, tmp_path):
+    """Landing stats hashed for a different bucket spec must be ignored
+    (fallback to the merge's own distinct+collect), never misprune."""
+    eng = new_engine(spark, tmp_path, "wh_landing_fallback")
+    # corrupt the recorded spec to simulate a re-bucketed silver
+    import json, os
+    p = os.path.join(eng.bronze.path, "epoch=0", "_stats.json")
+    rec = json.loads(open(p).read())
+    rec["bucket_spec"]["n"] = rec["bucket_spec"]["n"] * 2
+    open(p, "w").write(json.dumps(rec))
+    assert eng._buckets_from_landing([0]) is None
+    m = eng.apply_epoch(0)
+    assert m["buckets_precomputed"] is False
+    eng.replay()
+    assert silver_pdf(eng).equals(oracle_pdf())

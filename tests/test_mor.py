@@ -131,3 +131,36 @@ def test_mor_incremental_gold_matches_full_rebuild(spark, tmp_path):
         got = got[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
         want = want[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=table)
+
+
+def test_autocompact_policy_bounds_delta_depth(spark, tmp_path):
+    """With mor_autocompact_deltas=N, replay folds the deltas once N commits
+    stack up — the depth stays bounded and parity is untouched."""
+    eng = CdcEngine(spark, str(tmp_path / "wh_mor_auto"), n_buckets=4,
+                    write_salt=2, merge_mode="mor", mor_autocompact_deltas=3)
+    eng.init_tables()
+    compacts = 0
+    for e in range(CFG.n_epochs):
+        eng.ingest_epoch_pandas(generate_epoch(CFG, e), e)
+        metrics = eng.replay(catchup=False)
+        auto = metrics[-1].get("autocompact")
+        if auto:
+            compacts += 1
+            assert auto["deltas_folded"] >= 3
+        assert eng.mor_delta_depth() < 3
+    assert compacts >= 1, "threshold of 3 must trigger within 4 epochs"
+    pd.testing.assert_frame_equal(silver_pdf(eng), oracle_pdf(), check_dtype=False)
+    # post-compact snapshot is a base fold, not a delta
+    if eng.mor_delta_depth() == 0:
+        assert eng.silver.current_snapshot().summary.get("operation") == "overwrite"
+
+
+def test_autocompact_disabled_accumulates(spark, tmp_path):
+    eng = CdcEngine(spark, str(tmp_path / "wh_mor_noauto"), n_buckets=4,
+                    write_salt=2, merge_mode="mor", mor_autocompact_deltas=None)
+    eng.init_tables()
+    for e in range(CFG.n_epochs):
+        eng.ingest_epoch_pandas(generate_epoch(CFG, e), e)
+        eng.replay(catchup=False)
+    assert eng.mor_delta_depth() == CFG.n_epochs
+    pd.testing.assert_frame_equal(silver_pdf(eng), oracle_pdf(), check_dtype=False)

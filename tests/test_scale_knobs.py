@@ -90,3 +90,64 @@ def test_large_bucket_count_and_hot_salting(spark, tmp_path):
         if r.conv_id in touched_convs
     }
     assert got == {c: f"patched-{c}" for c in touched_convs}
+
+
+def test_wide_buckets_with_day_partition_prunes_both_axes(spark, tmp_path):
+    """The 10^10-row layout (SURVEY §4): days(ts) × bucket(conv_id) at
+    n_buckets=1024. Merges prune on the bucket axis (from landing stats,
+    no collect); time-scoped reads prune on the day axis — both verified
+    at the manifest level (which files are listed to Spark at all)."""
+    wide = GenConfig(
+        n_convs=60, n_epochs=2, events_per_epoch=4000, seed=17,
+        evolution_epoch=2, n_hot=1, turns_hot=100, turns_normal=20,
+    )
+    eng = CdcEngine(
+        spark, str(tmp_path / "wh_wide"), n_buckets=1024, write_salt=2,
+        day_partition=True,
+    )
+    eng.init_tables()
+    for e in range(wide.n_epochs):
+        eng.ingest_epoch_pandas(generate_epoch(wide, e), e)
+    m0 = eng.apply_epoch(0)
+    m1 = eng.apply_epoch(1)
+
+    snap = eng.silver.current_snapshot()
+    assert snap.n_buckets == 1024 and snap.day_col == "ts"
+
+    # bucket axis: at most one bucket per conversation — the merge rewrote
+    # a tiny fraction of the 1024, with the bucket set known from landing
+    for m in (m0, m1):
+        assert m["buckets_precomputed"] is True
+        assert 0 < m["buckets_touched"] <= wide.n_convs
+    # every manifest entry carries both partition values
+    assert all("day" in f and 0 <= f["bucket"] < 1024 for f in snap.files)
+    days = sorted({f["day"] for f in snap.files})
+    assert len(days) >= 2, "corpus must span multiple days to test pruning"
+
+    # day axis: a one-day read lists ONLY that day's files...
+    d0 = days[0]
+    pruned = eng.silver.read(days=(d0, d0))
+    want_files = {
+        eng.silver._abs(f["path"]) for f in snap.files if f["day"] == d0
+    }
+    got_files = {p.replace("file://", "") for p in pruned.inputFiles()}
+    assert got_files == want_files
+    # ...and returns exactly the full scan filtered to that day
+    import pyspark.sql.functions as F
+    full = eng.silver.read()
+    assert pruned.count() == full.filter(F.to_date("ts") == d0).count()
+
+    # both axes combined: strictly fewer files than either alone
+    some_bucket = snap.files[0]["bucket"]
+    both = eng.silver.read(buckets=[some_bucket], days=(d0, d0))
+    got_both = {p.replace("file://", "") for p in both.inputFiles()}
+    assert got_both == {
+        eng.silver._abs(f["path"])
+        for f in snap.files
+        if f["day"] == d0 and f["bucket"] == some_bucket
+    }
+
+    # logical state is unaffected by the physical layout
+    resolved = eng.silver_view()
+    assert resolved.count() > 0
+    assert resolved.select("conv_id").distinct().count() <= wide.n_convs
