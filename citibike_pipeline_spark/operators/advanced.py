@@ -356,6 +356,153 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# q29b: EXACT polygon containment (≙ ST_CONTAINS, silver_stations.sql:83-86)
+# — the upgrade over q29's sanctioned bbox approximation. Physical shape:
+# broadcast the tiny polygon dim, bbox as the cheap JVM-side pre-filter, then
+# a vectorized Arrow-batched pandas UDF runs the exact ray-crossing
+# (PNPOLY) test only on the bbox candidates. The UDF vectorizes per distinct
+# polygon (numpy over all its candidate points), so Python cost is
+# O(polygons) per batch, not O(rows). The DuckDB oracle computes the same
+# crossings as edge-table SQL (COUNT parity), pinning the UDF's math
+# cross-engine.
+# --------------------------------------------------------------------------
+
+
+def _pip_udf():
+    import numpy as np
+    import pandas as pd
+
+    @F.pandas_udf("boolean")
+    def point_in_polygon(
+        lat: pd.Series, lng: pd.Series, verts: pd.Series
+    ) -> pd.Series:
+        out = np.zeros(len(lat), dtype=bool)
+        if not len(lat):
+            return pd.Series(out)
+        # CASE WHEN doesn't short-circuit UDF evaluation: left-join misses
+        # arrive with null verts — they are outside by definition
+        keys = verts.map(
+            lambda v: b"" if v is None else np.asarray(list(v), dtype=float).tobytes()
+        )
+        plat, plng = lat.to_numpy(dtype=float), lng.to_numpy(dtype=float)
+        for k in keys.unique():
+            if k == b"":
+                continue
+            mask = (keys == k).to_numpy()
+            ring = np.frombuffer(k).reshape(-1, 2)
+            px, py = plat[mask], plng[mask]
+            inside = np.zeros(px.shape, dtype=bool)
+            n = len(ring)
+            for i in range(n):
+                x1, y1 = ring[i]
+                x2, y2 = ring[(i + 1) % n]
+                spans = (y1 > py) != (y2 > py)
+                if not spans.any():
+                    continue
+                # identical expression/order to the oracle SQL — same IEEE754
+                # doubles on both engines
+                xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+                inside ^= spans & (px < xint)
+            out[mask] = inside
+        return pd.Series(out)
+
+    return point_in_polygon
+
+
+def q29b_polygon_enrichment(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.dims import geo_polygons
+
+    c = T(spark, sf, "customer")
+    pts = c.select(
+        "c_custkey",
+        (F.lit(40.5) + (F.col("c_custkey") % 100) / 200.0).alias("lat"),
+        (F.lit(-74.2) + (F.col("c_custkey") % 140) / 250.0).alias("lng"),
+    )
+    z = geo_polygons(spark)
+    in_bbox = (
+        (pts["lat"] >= z["lat_min"]) & (pts["lat"] <= z["lat_max"])
+        & (pts["lng"] >= z["lng_min"]) & (pts["lng"] <= z["lng_max"])
+    )
+    pip = _pip_udf()
+    cand = pts.join(F.broadcast(z), in_bbox, "left")
+    marked = cand.withColumn(
+        "inside",
+        F.when(F.col("zone").isNull(), F.lit(False)).otherwise(
+            pip("lat", "lng", "verts")
+        ),
+    )
+    per_point = marked.groupBy("c_custkey", "lat", "lng").agg(
+        F.max(F.when(F.col("inside"), F.col("zone"))).alias("zone")
+    )
+    return per_point.groupBy(
+        F.coalesce("zone", F.lit("outside")).alias("zone")
+    ).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("c_custkey").alias("min_custkey"),
+        F.round(F.avg("lat"), 6).alias("avg_lat"),
+        F.round(F.avg("lng"), 6).alias("avg_lng"),
+    )
+
+
+def _poly_sql_tables() -> tuple[str, str]:
+    from ..sources.dims import GEO_POLY_ROWS, poly_bbox
+
+    bboxes = ", ".join(
+        "('{z}', {a}, {b}, {c}, {d})".format(z=z, a=a, b=b, c=c, d=d)
+        for z, verts in GEO_POLY_ROWS
+        for a, b, c, d in [poly_bbox(verts)]
+    )
+    edges = ", ".join(
+        f"('{z}', {ring[i][0]}, {ring[i][1]}, "
+        f"{ring[(i + 1) % len(ring)][0]}, {ring[(i + 1) % len(ring)][1]})"
+        for z, ring in GEO_POLY_ROWS
+        for i in range(len(ring))
+    )
+    return (
+        f"(VALUES {bboxes}) AS b(zone, lat_min, lat_max, lng_min, lng_max)",
+        f"(VALUES {edges}) AS e(zone, x1, y1, x2, y2)",
+    )
+
+
+def _q29b_sql() -> str:
+    bboxes, edges = _poly_sql_tables()
+    return f"""
+WITH pts AS (
+  SELECT c_custkey,
+         40.5 + (c_custkey % 100) / 200.0 AS lat,
+         -74.2 + (c_custkey % 140) / 250.0 AS lng
+  FROM customer
+),
+inside AS (
+  SELECT p.c_custkey, e.zone
+  FROM pts p
+  JOIN {bboxes}
+    ON p.lat >= b.lat_min AND p.lat <= b.lat_max
+   AND p.lng >= b.lng_min AND p.lng <= b.lng_max
+  JOIN {edges} ON e.zone = b.zone
+  WHERE ((e.y1 > p.lng) != (e.y2 > p.lng))
+    AND p.lat < (e.x2 - e.x1) * (p.lng - e.y1) / (e.y2 - e.y1) + e.x1
+  GROUP BY 1, 2
+  HAVING COUNT(*) % 2 = 1
+),
+labeled AS (
+  SELECT p.c_custkey, p.lat, p.lng, MAX(i.zone) AS zone
+  FROM pts p LEFT JOIN inside i ON p.c_custkey = i.c_custkey
+  GROUP BY 1, 2, 3
+)
+SELECT COALESCE(zone, 'outside') AS zone,
+       COUNT(*) AS n_points,
+       MIN(c_custkey) AS min_custkey,
+       ROUND(AVG(lat), 6) AS avg_lat,
+       ROUND(AVG(lng), 6) AS avg_lng
+FROM labeled GROUP BY 1
+"""
+
+
+Q29B_SQL = _q29b_sql()
+
+
+# --------------------------------------------------------------------------
 # q30: holiday-seed broadcast join into a date spine (J5) ≙
 #      gold_dim_dates.sql:26-28 + generate_holidays.py:8-31 — the seed-dim
 #      enrichment shape: generated spine LEFT JOIN tiny seed, miss -> flag.
@@ -653,6 +800,7 @@ ADVANCED = {
     "q27_sessionization": (q27_sessionization, Q27_SQL),
     "q28_pagerank": (q28_pagerank, Q28_SQL),
     "q29_spatial_enrichment": (q29_spatial_enrichment, Q29_SQL),
+    "q29b_polygon_enrichment": (q29b_polygon_enrichment, Q29B_SQL),
     "q30_holiday_spine": (q30_holiday_spine, Q30_SQL),
     "q31_closeness": (q31_closeness, Q31_SQL),
     "q33_betweenness": (q33_betweenness, Q33_SQL),

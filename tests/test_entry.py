@@ -33,3 +33,39 @@ def test_d07_planted_overlap_signal(spark):
     assert len(pdf) >= 20
     assert (pdf.jaccard >= 0.8).sum() >= 5      # near-identical cohort
     assert ((pdf.jaccard >= 0.3) & (pdf.jaccard < 0.8)).sum() >= 5  # half-overlap
+
+
+def test_q29b_polygon_tighter_than_bbox(spark):
+    """The exact containment upgrade must actually differ from the bbox
+    approximation: for every non-rectangular zone some points fall in the
+    bbox but outside the polygon, so q29b classifies fewer points per zone
+    than a pure-bbox join would."""
+    import pyspark.sql.functions as F
+    from citibike_pipeline_spark.operators.advanced import q29b_polygon_enrichment
+    from citibike_pipeline_spark.sources.dims import geo_polygons
+    from citibike_pipeline_spark.operators.io import T
+
+    sf = "/root/testdata/sf0.01"
+    got = {r.zone: r.n_points for r in q29b_polygon_enrichment(spark, sf).collect()}
+    assert got.get("outside", 0) > 0
+    # pure-bbox counts for the same polygons
+    c = T(spark, sf, "customer")
+    pts = c.select(
+        "c_custkey",
+        (F.lit(40.5) + (F.col("c_custkey") % 100) / 200.0).alias("lat"),
+        (F.lit(-74.2) + (F.col("c_custkey") % 140) / 250.0).alias("lng"),
+    )
+    z = geo_polygons(spark)
+    bbox_counts = {
+        r.zone: r.n
+        for r in pts.join(
+            F.broadcast(z),
+            (pts["lat"] >= z["lat_min"]) & (pts["lat"] <= z["lat_max"])
+            & (pts["lng"] >= z["lng_min"]) & (pts["lng"] <= z["lng_max"]),
+        ).groupBy("zone").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for zone, n_bbox in bbox_counts.items():
+        assert got.get(zone, 0) > 0, f"{zone} got no inside points"
+        assert got[zone] < n_bbox, (
+            f"{zone}: polygon count {got[zone]} not tighter than bbox {n_bbox}"
+        )
