@@ -48,11 +48,18 @@ def main() -> None:
 
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
 
-    # warm the JVM/codegen once so per-query times measure the plan, not startup
+    # Warm the JVM so per-query times measure execution, not JIT: one scan
+    # plus ONE untimed run of each headline plan at the smallest SF — the
+    # codegen cache is keyed on generated source, so the sf0.1 runs reuse the
+    # compiled classes. (r2 showed the first timed queries absorbing multiple
+    # seconds of codegen compile — q01 "4.3 s" was 0.09 s steady-state.)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-
     queries: dict[str, float] = {}
     headline = [] if os.environ.get("BENCH_SKIP_QUERIES") == "1" else HEADLINE
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if headline and os.path.isdir(warm_dir):
+        for name in headline:
+            REGISTRY[name].fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
     for name in headline:
         fn = REGISTRY[name].fn
         t0 = time.time()
