@@ -143,6 +143,20 @@ def main() -> None:
         "events_per_run": args.events * args.epochs,
         "runs": [{k: (round(v, 2) if isinstance(v, float) else v) for k, v in r.items()} for r in runs],
     }
+    # Same-window pair estimator: each rep interleaves N then 4N back-to-back,
+    # so the PAIR ratio controls for the window's external load — the
+    # best-of-config estimator can mix a quiet-window N with a loaded-window
+    # 4N (or vice versa) and report a ratio no single moment produced.
+    pair_effs = []
+    by_rep: dict[int, dict[int, float]] = {}
+    for r in runs:
+        by_rep.setdefault(r["rep"], {})[r["cores"]] = r["eps"]
+    for rep in sorted(by_rep):
+        p = by_rep[rep]
+        if args.n in p and args.n4 in p:
+            pair_effs.append(round((p[args.n4] / p[args.n]) / (args.n4 / args.n), 3))
+    result["pair_efficiencies"] = pair_effs
+    result["best_pair_efficiency"] = max(pair_effs) if pair_effs else None
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "scaling.json"), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
