@@ -106,14 +106,20 @@ SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS sim FROM (
 # --------------------------------------------------------------------------
 
 def _plane_dot(p: int):
-    # fold over dims: sum_i emb[i] * sin(p*1000 + i)   (1-indexed element_at)
-    idx = F.sequence(F.lit(1), F.lit(DIMS))
+    """sum_i emb[i] * sin(p*1000 + i) — the plane is a CONSTANT vector, so
+    it folds to a literal array and the dot is one zip_with pass. (The
+    index-walk alternative, element_at(embedding, i) per i, re-inlines the
+    embedding expression per index when it is a derived array — e03's
+    augmented copies made that O(dims²) per plane.) Python's libm sin
+    matches DuckDB's (same C library) on these inputs; a sign flip would
+    need |plane_dot| < 1e-15, unobserved across the corpus."""
+    import math
+
+    plane = F.array(*[F.lit(math.sin(p * 1000 + i)) for i in range(1, DIMS + 1)])
     return F.aggregate(
-        idx,
+        F.zip_with(F.col("embedding"), plane, lambda x, s: x.cast("double") * s),
         F.lit(0.0),
-        lambda acc, i: acc
-        + F.element_at(F.col("embedding"), i).cast("double")
-        * F.sin(F.lit(float(p * 1000)) + i.cast("double")),
+        lambda acc, x: acc + x,
     )
 
 
@@ -191,9 +197,16 @@ def _augmented(emb: DataFrame) -> DataFrame:
 
 def e03_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     emb = _augmented(T(spark, sf, "embeddings"))
-    # materialize bucket assignments once — both sides of the candidate join
-    # probe them (at scale this is the persisted ANN index table)
-    b = emb.select("vec_id", "embedding", _bucket_expr().alias("bucket")).persist()
+    # materialize bucket assignments AND per-vector norms once — both sides
+    # of the candidate join probe them (at scale this is the persisted ANN
+    # index table). Precomputing the norm cuts per-pair work from
+    # dot+2 norms (3 array folds) to one fold + a multiply: the candidate
+    # set is bucket-bounded but still quadratic-within-bucket, so per-pair
+    # cost is the term that scales.
+    b = emb.select(
+        "vec_id", "embedding", _bucket_expr().alias("bucket"),
+        _norm(F.col("embedding")).alias("nrm"),
+    ).persist()
     a, c = b.alias("a"), b.alias("c")
     return (
         a.join(
@@ -204,7 +217,8 @@ def e03_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("c.vec_id").alias("vec_b"),
-            _cosine(F.col("a.embedding"), F.col("c.embedding")).alias("sim"),
+            (_dot(F.col("a.embedding"), F.col("c.embedding"))
+             / (F.col("a.nrm") * F.col("c.nrm"))).alias("sim"),
         )
         .filter(F.col("sim") >= NEARDUP_THRESHOLD)
         .select("vec_a", "vec_b", F.round("sim", 6).alias("sim"))
