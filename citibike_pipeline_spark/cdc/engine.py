@@ -631,16 +631,37 @@ class CdcEngine:
 
     # -- serving views -------------------------------------------------------------
 
-    def silver_resolved(self, buckets: list[int] | None = None) -> DataFrame:
+    def silver_resolved(
+        self,
+        buckets: list[int] | None = None,
+        days: tuple[str | None, str | None] | None = None,
+    ) -> DataFrame:
         """Physically-resolved silver (tombstones still present): under cow
         the table is already collapsed; under mor the base ∪ delta files are
         LWW-collapsed here. Bucket pruning is sound in both modes because a
-        key's every version lives in exactly one bucket."""
-        df = self.silver.read(buckets=buckets)
+        key's every version lives in exactly one bucket.
+
+        ``days=(lo, hi)`` scopes the read in time (inclusive ISO dates,
+        either bound None = open). Under cow on a day-partitioned table the
+        scan is MANIFEST-pruned — untouched days' files are never listed —
+        with a residual to_date(ts) filter for exactness (files without day
+        metadata, e.g. null-ts partitions, are conservatively scanned).
+        Under mor the date filter applies AFTER the LWW resolve over an
+        un-day-pruned read: a key's versions can span days, so pruning
+        delta files by day could resolve a stale winner."""
+        prune_days = days if self.merge_mode != "mor" else None
+        df = self.silver.read(buckets=buckets, days=prune_days)
         if self.merge_mode == "mor":
             df = lww_dedup_agg(
                 df, extra_order_cols=[F.coalesce(F.col("ingest_epoch"), F.lit(-1))]
             )
+        if days is not None:
+            lo, hi = days
+            d = F.to_date("ts")
+            if lo is not None:
+                df = df.filter(d >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(d <= F.lit(hi))
         return df
 
     def silver_view(self) -> DataFrame:

@@ -151,3 +151,42 @@ def test_wide_buckets_with_day_partition_prunes_both_axes(spark, tmp_path):
     resolved = eng.silver_view()
     assert resolved.count() > 0
     assert resolved.select("conv_id").distinct().count() <= wide.n_convs
+
+
+def test_silver_resolved_day_scope_matches_filter(spark, tmp_path):
+    """Day-scoped serving reads: under cow the scan is manifest-pruned with
+    a residual exact filter; under mor the filter applies post-resolve (no
+    day pruning of deltas — versions span days). Both must equal the plain
+    filter over the full resolved table."""
+    import pyspark.sql.functions as F
+    wide = GenConfig(
+        n_convs=40, n_epochs=2, events_per_epoch=3000, seed=23,
+        evolution_epoch=2, n_hot=1, turns_hot=80, turns_normal=20,
+    )
+    for mode in ("cow", "mor"):
+        eng = CdcEngine(
+            spark, str(tmp_path / f"wh_dayscope_{mode}"), n_buckets=8,
+            write_salt=1, merge_mode=mode, day_partition=(mode == "cow"),
+        )
+        eng.init_tables()
+        for e in range(wide.n_epochs):
+            eng.ingest_epoch_pandas(generate_epoch(wide, e), e)
+            eng.replay(catchup=False)
+        full = eng.silver_resolved()
+        days = sorted(
+            r[0].isoformat()
+            for r in full.select(F.to_date("ts").alias("d")).distinct().collect()
+        )
+        assert len(days) >= 2
+        d0 = days[0]
+        scoped = eng.silver_resolved(days=(d0, d0))
+        want = full.filter(F.to_date("ts") == d0)
+        assert scoped.count() == want.count() > 0, mode
+        if mode == "cow":
+            # the scoped scan listed only day-d0 files (+ residual filter)
+            snap = eng.silver.current_snapshot()
+            d0_files = {eng.silver._abs(f["path"]) for f in snap.files
+                        if f.get("day") == d0}
+            got = {p.replace("file://", "")
+                   for p in eng.silver.read(days=(d0, d0)).inputFiles()}
+            assert got == d0_files
