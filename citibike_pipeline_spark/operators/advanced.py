@@ -691,10 +691,11 @@ def q33_betweenness(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         F.col("e1.a").alias("s"), F.col("e1.b").alias("m"), F.col("e2.b").alias("t")
     )
-    # distance exactly 2: drop pairs with a direct edge
-    d2 = w2.join(d1, ["s", "t"], "left_anti")
+    # distance exactly 2: drop pairs with a direct edge (all of d1/sig2/sig3
+    # are bounded by the K²-node pair space — broadcast, never shuffle)
+    d2 = w2.join(F.broadcast(d1), ["s", "t"], "left_anti")
     sig2 = d2.groupBy("s", "t").agg(F.count(F.lit(1)).alias("sigma"))
-    bc2 = d2.join(sig2, ["s", "t"]).select(
+    bc2 = d2.join(F.broadcast(sig2), ["s", "t"]).select(
         F.col("m").alias("node"), (F.lit(1.0) / F.col("sigma")).alias("contrib")
     )
 
@@ -712,12 +713,12 @@ def q33_betweenness(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     # distance exactly 3: no direct edge and no 2-path
-    d3 = w3.join(d1, ["s", "t"], "left_anti").join(
-        sig2.select("s", "t"), ["s", "t"], "left_anti"
+    d3 = w3.join(F.broadcast(d1), ["s", "t"], "left_anti").join(
+        F.broadcast(sig2.select("s", "t")), ["s", "t"], "left_anti"
     )
     sig3 = d3.groupBy("s", "t").agg(F.count(F.lit(1)).alias("sigma"))
     bc3 = (
-        d3.join(sig3, ["s", "t"])
+        d3.join(F.broadcast(sig3), ["s", "t"])
         .select(
             F.explode(F.array("m1", "m2")).alias("node"),
             (F.lit(1.0) / F.col("sigma")).alias("contrib"),

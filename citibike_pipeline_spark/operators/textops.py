@@ -276,7 +276,14 @@ def d05_minhash_lsh_pairs(
     return pairs
 
 
-def _minhash_sql(b: int = MINHASH_B, r: int = MINHASH_R) -> str:
+def _minhash_pairs_cte(
+    b: int = MINHASH_B, r: int = MINHASH_R, materialized: bool = False
+) -> str:
+    """CTE body producing `pairs(doc_a, doc_b, n_shared_bands)` — shared by
+    the d05 oracle and the d08 clustering oracle. ``materialized`` forces
+    DuckDB to evaluate each CTE once — required when a consumer references
+    them from an unrolled iteration (inlining re-runs the minhash pipeline
+    per round: measured 216 s -> 0.5 s)."""
     k = b * r
     shingles = (
         "list_transform(generate_series(1, GREATEST(len(string_split(text,' '))-1,1)), "
@@ -292,17 +299,21 @@ def _minhash_sql(b: int = MINHASH_B, r: int = MINHASH_R) -> str:
     unions = " UNION ALL ".join(
         f"SELECT doc_id, {i} AS band, {band_key(i)} AS val FROM sigs" for i in range(b)
     )
-    return f"""
-WITH sigs AS (SELECT doc_id, {sig} FROM documents),
-bands AS ({unions})
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
-GROUP BY 1, 2
+    m = "MATERIALIZED " if materialized else ""
+    return f"""sigs AS {m}(SELECT doc_id, {sig} FROM documents),
+bands AS {m}({unions}),
+pairs AS {m}(
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)"""
+
+
+D05_SQL = f"""
+WITH {_minhash_pairs_cte()}
+SELECT doc_a, doc_b, n_shared_bands FROM pairs
 """
-
-
-D05_SQL = _minhash_sql()
 
 
 # --------------------------------------------------------------------------
@@ -469,6 +480,134 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
 """
 
 
+# --------------------------------------------------------------------------
+# d08: near-duplicate CLUSTERS — connected components over the d05 candidate
+# graph, the canonicalization step a dedup pipeline runs after pairing
+# (keep min-doc_id per component, drop the rest). Spark-first shape:
+# hash-to-min label propagation as frontier iteration (the q28/q31
+# Pregel-on-DataFrames idiom): per round each node takes the min of its own
+# label, its neighbors' labels (one edge join + min aggregate), AND the
+# label of its current label (pointer jump — a labels self-join). The jump
+# doubles the distance the min travels per round, so convergence is
+# O(log diameter) instead of O(diameter) — the corpus has a 240-doc chained
+# component whose diameter plain propagation couldn't cover in a bounded
+# unroll. D08_ROUNDS is fixed so the unrolled DuckDB oracle computes the
+# identical state; convergence on the corpus is pinned by pytest vs
+# networkx connected components. Scale: edges are the LSH-bounded pair set
+# (no all-pairs anywhere); each round shuffles only the edge + label
+# tables — the standard large-graph CC loop.
+# --------------------------------------------------------------------------
+
+# The corpus' largest candidate component is a 240-doc chain of diameter 24;
+# the jump rule converges there in 13 rounds (simulated exactly) — 16 gives
+# margin. At corpus scale this is the knob to size ~log2(max diameter).
+D08_ROUNDS = 16
+
+
+def d08_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    pairs = d05_minhash_lsh_pairs(spark, sf).select("doc_a", "doc_b")
+    # Each round references the label state THREE times (neighbor probe,
+    # pointer jump, carry-forward), so the iteration needs a hard barrier
+    # per round or the plan/lineage compounds. localCheckpoint is NOT
+    # enough: even with the logical plan truncated to a LogicalRDD,
+    # per-round wall time still grew exponentially after ~10 rounds
+    # (measured 0.5 s -> 113 s); a parquet round-trip is a true barrier and
+    # stays flat at ~0.5 s/round — and is exactly how a production
+    # iterative job persists per-round state anyway. Intermediate rounds
+    # are deleted eagerly; the final round's files back the returned
+    # DataFrame and are left for /tmp cleanup (a real deployment points
+    # this at the job's checkpoint dir).
+    tmp = tempfile.mkdtemp(prefix="d08_cc_")
+
+    def barrier(df: DataFrame, name: str) -> DataFrame:
+        p = os.path.join(tmp, name)
+        df.write.mode("overwrite").parquet(p)
+        return spark.read.parquet(p)
+
+    adj = barrier(
+        pairs.unionByName(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        ),
+        "adj",
+    )
+    labels = barrier(
+        adj.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id")),
+        "r0",
+    )
+    for i in range(D08_ROUNDS):
+        prop = (
+            adj.join(labels, adj.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("label").alias("nl"))
+        )
+        x, y = labels.alias("x"), labels.alias("y")
+        jump = x.join(y, F.col("x.label") == F.col("y.doc_id")).select(
+            F.col("x.doc_id").alias("doc_id"), F.col("y.label").alias("jl")
+        )
+        labels = barrier(
+            labels.join(prop, "doc_id", "left")
+            .join(jump, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce("nl", "label"),
+                    F.coalesce("jl", "label"),
+                ).alias("label"),
+            ),
+            f"r{i + 1}",
+        )
+        shutil.rmtree(os.path.join(tmp, f"r{i}"), ignore_errors=True)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(F.broadcast(sizes), "label").select(
+        "doc_id", F.col("label").alias("cluster_id"), "cluster_size"
+    )
+
+
+def _d08_sql(rounds: int = D08_ROUNDS) -> str:
+    levels = []
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        levels.append(
+            f"l{i} AS MATERIALIZED (\n"
+            f"  SELECT n.doc_id,\n"
+            f"         LEAST(n.label, COALESCE(p.nl, n.label),\n"
+            f"               COALESCE(j.jl, n.label)) AS label\n"
+            f"  FROM {prev} n LEFT JOIN (\n"
+            f"    SELECT e.doc_a AS doc_id, MIN(l.label) AS nl\n"
+            f"    FROM adj e JOIN {prev} l ON e.doc_b = l.doc_id GROUP BY 1\n"
+            f"  ) p ON n.doc_id = p.doc_id\n"
+            f"  LEFT JOIN (\n"
+            f"    SELECT x.doc_id, y.label AS jl\n"
+            f"    FROM {prev} x JOIN {prev} y ON x.label = y.doc_id\n"
+            f"  ) j ON n.doc_id = j.doc_id\n"
+            f")"
+        )
+        prev = f"l{i}"
+    return f"""
+WITH {_minhash_pairs_cte(materialized=True)},
+adj AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+),
+l0 AS MATERIALIZED (SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM adj),
+{", ".join(levels)},
+sizes AS (SELECT label, COUNT(*) AS cluster_size FROM {prev} GROUP BY label)
+SELECT l.doc_id, l.label AS cluster_id, s.cluster_size
+FROM {prev} l JOIN sizes s ON l.label = s.label
+"""
+
+
+D08_SQL = _d08_sql()
+
+
 TEXTOPS = {
     "d01_exact_dedup": (d01_exact_dedup, D01_SQL),
     "d02_token_stats": (d02_token_stats, D02_SQL),
@@ -477,4 +616,5 @@ TEXTOPS = {
     "d05_minhash_lsh_pairs": (d05_minhash_lsh_pairs, D05_SQL),
     "d06_simhash": (d06_simhash, D06_SQL),
     "d07_jaccard_pairs": (d07_jaccard_pairs, D07_SQL),
+    "d08_dup_clusters": (d08_dup_clusters, D08_SQL),
 }

@@ -95,3 +95,31 @@ def test_q33_equals_full_betweenness_when_diameter_small(spark):
     want = nx.betweenness_centrality(G, normalized=False)
     for v in want:
         assert got[v] == pytest.approx(want[v], abs=2e-6), v
+
+
+def test_d08_clusters_match_networkx_components(spark):
+    """d08's bounded-round min-label propagation must have CONVERGED on the
+    real corpus: every doc's cluster_id equals the min doc_id of its
+    networkx connected component over the same candidate pair graph."""
+    from citibike_pipeline_spark.operators.textops import (
+        d05_minhash_lsh_pairs,
+        d08_dup_clusters,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    pairs = [(r.doc_a, r.doc_b) for r in
+             d05_minhash_lsh_pairs(spark, sf).select("doc_a", "doc_b").collect()]
+    G = nx.Graph()
+    G.add_edges_from(pairs)
+    want = {}
+    for comp in nx.connected_components(G):
+        root = min(comp)
+        for v in comp:
+            want[v] = (root, len(comp))
+    got = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in d08_dup_clusters(spark, sf).collect()
+    }
+    assert got == want
+    assert len(got) > 100  # real signal: a third of the corpus pairs up
+    assert max(s for _, s in got.values()) >= 3  # multi-doc chains exist
