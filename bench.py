@@ -81,6 +81,21 @@ def main() -> None:
         )
         wh = f"/tmp/bench_wh_{cpus}"
         shutil.rmtree(wh, ignore_errors=True)
+        # untimed mini-replay first: the merge path's codegen is distinct
+        # from the query plans warmed above, and a cold JVM spends seconds
+        # compiling it (same protocol as BENCH/scaling.py — measure the
+        # engine, not the JIT)
+        warm_wh = f"{wh}_warm"
+        shutil.rmtree(warm_wh, ignore_errors=True)
+        warm_cfg = GenConfig(n_convs=200, n_epochs=2, events_per_epoch=10_000,
+                             evolution_epoch=1)
+        weng = CdcEngine(spark, warm_wh, n_buckets=32)
+        weng.init_tables()
+        for e in range(warm_cfg.n_epochs):
+            weng.ingest_epoch_pandas(generate_epoch(warm_cfg, e), e)
+        weng.replay()
+        shutil.rmtree(warm_wh, ignore_errors=True)
+
         eng = CdcEngine(spark, wh, n_buckets=32)
         eng.init_tables()
         for e in range(cfg.n_epochs):
