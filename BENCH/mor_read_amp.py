@@ -58,9 +58,22 @@ def main() -> None:
         shutil.rmtree(wh, ignore_errors=True)
         return samples
 
-    # warm JIT with a throwaway short run
-    os.environ.setdefault("_WARM", "1")
-    _ = run(None) if epochs <= 4 else None
+    # warm JIT unconditionally with a SEPARATE fixed-size throwaway engine
+    # (r3 ADVICE: the old `epochs <= 4` gate meant the default 48-epoch run
+    # got NO warm-up, so its first read samples absorbed codegen compile —
+    # the exact distortion the round-3 bench notes flagged elsewhere)
+    warm_wh = "/tmp/mor_amp_warm"
+    shutil.rmtree(warm_wh, ignore_errors=True)
+    warm_cfg = GenConfig(n_convs=200, n_epochs=2, events_per_epoch=5000,
+                         evolution_epoch=3)
+    weng = CdcEngine(spark, warm_wh, n_buckets=32, merge_mode="mor",
+                     mor_autocompact_deltas=1)
+    weng.init_tables()
+    for e in range(warm_cfg.n_epochs):
+        weng.ingest_epoch_pandas(generate_epoch(warm_cfg, e), e)
+        weng.replay(catchup=False)
+        weng.silver_resolved().count()  # warm the resolved-read plan too
+    shutil.rmtree(warm_wh, ignore_errors=True)
     out = {
         "metric": "mor_read_amp",
         "epochs": epochs,

@@ -31,10 +31,18 @@ HEADLINE = [
     "q07_unpivot_daily_net",
     "q13_date_spine_daily_orders",
     "q15_two_level_agg",
+    # round-3 operators (r3 verdict: cost-invisible until now)
+    "q29b_polygon_enrichment",
+    "q31_closeness",
+    "q33_betweenness",
+    "q32a_flow_reduction",
     "d02_token_stats",
     "d05_minhash_lsh_pairs",
+    "d07_jaccard_pairs",
+    "d08_dup_clusters",
     "e01_cosine_topk",
     "e03_neardup_pairs",
+    "e05_ivf_topk",
 ]
 
 
@@ -45,6 +53,10 @@ def main() -> None:
 
     from citibike_pipeline_spark.session import get_spark
     from citibike_pipeline_spark.operators import REGISTRY
+    from citibike_pipeline_spark.operators.resources import (
+        live_resource_counts,
+        release_query_resources,
+    )
 
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
 
@@ -60,11 +72,19 @@ def main() -> None:
     if headline and os.path.isdir(warm_dir):
         for name in headline:
             REGISTRY[name].fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            release_query_resources(spark)
     for name in headline:
         fn = REGISTRY[name].fn
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         queries[name] = round(time.time() - t0, 3)
+        # release per-query caches/scratch (operators/resources.py contract)
+        # and assert nothing leaked — the r3 verdict's cache-leak guard
+        release_query_resources(spark)
+        n_persist, n_scratch = live_resource_counts(spark)
+        assert n_persist == 0 and n_scratch == 0, (
+            f"{name} leaked resources: {n_persist} persisted, {n_scratch} scratch"
+        )
 
     cdc = {}
     if os.environ.get("BENCH_SKIP_CDC") != "1":

@@ -173,10 +173,15 @@ class CdcEngine:
             for c in new_cols:
                 fields.append(StructField(c, StringType(), True))
             self.bronze.evolve_schema(StructType(fields + meta))
+        # touched-bucket pre-hashing at landing only pays off when the merge
+        # prunes by bucket (cow): the mor apply path appends deltas without
+        # pruning, so skip the per-landing distinct job there (r3 ADVICE).
+        # _buckets_from_landing tolerates the absent spec (falls back).
         self.bronze.append_epoch_pandas(
             pdf.reindex(columns=[f.name for f in self.bronze.schema().fields]),
             epoch,
-            bucket_spec=self._silver_bucket_spec(),
+            bucket_spec=None if self.merge_mode == "mor"
+            else self._silver_bucket_spec(),
         )
 
     def _silver_bucket_spec(self) -> tuple[list[str], int]:
@@ -606,7 +611,13 @@ class CdcEngine:
             and not self._is_fully_committed(e, committed.get(e, set()))
         ]
         if not pending:
-            return []
+            # still bound MOR read amplification: a table whose delta depth
+            # already crossed the threshold (e.g. replay killed between apply
+            # and compact) must not stay un-compacted across idle replay
+            # calls (r3 ADVICE). Reported as a metrics-only entry so callers
+            # summing per-epoch counters (.get with default) are unaffected.
+            auto = self.maybe_autocompact()
+            return [] if auto is None else [{"autocompact": auto}]
         if catchup and len(pending) > 1:
             out = [self.apply_epochs(pending)]
         else:

@@ -72,15 +72,18 @@ def merge_into(
     ``touched_buckets`` is the steady-state fast path: the caller already
     knows which buckets the change-set hashes into (e.g. from WAL
     landing-time stats — bucket = f(key, n_buckets) is computable the moment
-    the epoch lands), so the merge skips BOTH the touched-bucket
-    distinct+collect job and the change-set persist that backed its second
-    consumption. A superset is sound (extra buckets are rewritten
+    the epoch lands), so the merge skips the touched-bucket distinct+collect
+    job entirely. A superset is sound (extra buckets are rewritten
     identically); a wrong spec is the caller's responsibility to invalidate.
 
     ``prune_buckets=False`` is the catch-up fast path: the caller asserts the
     change-set plausibly touches every bucket, so the merge reads the full
-    table and rewrites all buckets in one pass — no touched-collect job, no
-    change-set persist (it is consumed exactly once by the resolver).
+    table and rewrites all buckets in one pass with no touched-collect job.
+
+    On both fast paths the change-set is persisted only when the DEFAULT
+    resolver runs (it probes `changes` twice: anti-join keys + upserts); a
+    caller-supplied resolver — e.g. the engine's LWW max_by, which consumes
+    `changes` exactly once — skips the persist.
 
     Returns merge stats {buckets_touched, snapshot_id, sec_*}.
     """
@@ -91,30 +94,49 @@ def merge_into(
 
     if not prune_buckets:
         touched = list(range(snap.n_buckets))
-        t0 = time.time()
-        merged = resolve(table.read(), changes).select(*cols)
-        new_snap = table.replace_buckets(merged, touched, summary=summary)
-        return {
-            "buckets_touched": len(touched),
-            "snapshot_id": new_snap.snapshot_id,
-            "sec_touched_collect": 0.0,
-            "sec_resolve_write": round(time.time() - t0, 2),
-        }
+        cache_changes = resolver is None  # default resolver probes twice
+        if cache_changes:
+            changes = changes.persist()
+        try:
+            t0 = time.time()
+            merged = resolve(table.read(), changes).select(*cols)
+            new_snap = table.replace_buckets(merged, touched, summary=summary)
+            return {
+                "buckets_touched": len(touched),
+                "snapshot_id": new_snap.snapshot_id,
+                "sec_touched_collect": 0.0,
+                "sec_resolve_write": round(time.time() - t0, 2),
+            }
+        finally:
+            if cache_changes:
+                changes.unpersist()
 
     if touched_buckets is not None:
         touched = sorted(set(touched_buckets))
         if not touched:
             return {"buckets_touched": 0, "snapshot_id": snap.snapshot_id}
-        t0 = time.time()
-        merged = resolve(table.read(buckets=touched), changes).select(*cols)
-        new_snap = table.replace_buckets(merged, touched, summary=summary)
-        return {
-            "buckets_touched": len(touched),
-            "snapshot_id": new_snap.snapshot_id,
-            "sec_touched_collect": 0.0,
-            "buckets_precomputed": True,
-            "sec_resolve_write": round(time.time() - t0, 2),
-        }
+        # The engine's LWW resolver consumes `changes` exactly once (one
+        # union + max_by agg), so the fast path skips the persist for it.
+        # The DEFAULT resolver probes `changes` twice (anti-join keys +
+        # upserts) — persist there, or non-engine callers recompute the
+        # change-set plan per probe (r3 ADVICE).
+        cache_changes = resolver is None
+        if cache_changes:
+            changes = changes.persist()
+        try:
+            t0 = time.time()
+            merged = resolve(table.read(buckets=touched), changes).select(*cols)
+            new_snap = table.replace_buckets(merged, touched, summary=summary)
+            return {
+                "buckets_touched": len(touched),
+                "snapshot_id": new_snap.snapshot_id,
+                "sec_touched_collect": 0.0,
+                "buckets_precomputed": True,
+                "sec_resolve_write": round(time.time() - t0, 2),
+            }
+        finally:
+            if cache_changes:
+                changes.unpersist()
 
     # Bucket layout is keyed by bucket_cols (locality spec), NOT the merge
     # key — the write path and the pruning MUST hash identically.

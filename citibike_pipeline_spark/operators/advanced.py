@@ -119,8 +119,8 @@ def q26_grouped_apply_stats(spark: SparkSession, sf: str) -> DataFrame:
                 "n_events": [len(pdf)],
                 "max_gap_sec": [None if len(pdf) < 2 else int(gaps.max() // 1)],
                 "n_value_drops": [int(drops)],
-                "total_value": [round(float(pdf["value"].astype("float64").map(
-                    lambda v: round(v, 2)).sum()), 2)],
+                "total_value": [round(float(
+                    pdf["value"].astype("float64").round(2).sum()), 2)],
             }
         )
 

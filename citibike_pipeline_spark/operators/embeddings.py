@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .io import T
+from .resources import scoped_persist
 
 DIMS = 64
 N_QUERY = 3     # vec_id < N_QUERY serve as query vectors
@@ -203,10 +204,13 @@ def e03_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # dot+2 norms (3 array folds) to one fold + a multiply: the candidate
     # set is bucket-bounded but still quadratic-within-bucket, so per-pair
     # cost is the term that scales.
-    b = emb.select(
+    # scoped_persist: the cache is released by the harness after the caller
+    # consumes the returned plan (which probes this index twice) — see
+    # operators/resources.py for the lifecycle contract.
+    b = scoped_persist(emb.select(
         "vec_id", "embedding", _bucket_expr().alias("bucket"),
         _norm(F.col("embedding")).alias("nrm"),
-    ).persist()
+    ))
     a, c = b.alias("a"), b.alias("c")
     return (
         a.join(

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .io import T
+from .resources import scoped_persist, scratch_dir
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
 LANGS = ["en", "fr", "es", "de", "zh"]
@@ -244,8 +245,11 @@ def d05_minhash_lsh_pairs(
         for s in range(k)
     ]
     # materialize the signature table: the LSH self-join probes it twice and
-    # at scale you persist signatures anyway (they're the dedup index)
-    sigs = ex.groupBy("doc_id").agg(*sig_cols).persist()
+    # at scale you persist signatures anyway (they're the dedup index).
+    # scoped_persist registers the cache for harness-driven release after the
+    # caller consumes the result (the returned plan still probes it, so the
+    # operator can't unpersist here itself) — see operators/resources.py.
+    sigs = scoped_persist(ex.groupBy("doc_id").agg(*sig_cols))
     # AND within a band: the band key hashes r consecutive slots together
     def band_key(i: int):
         return F.md5(F.concat_ws("|", *[F.col(f"mh{i * r + j}") for j in range(r)]))
@@ -507,7 +511,6 @@ D08_ROUNDS = 16
 def d08_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     import os
     import shutil
-    import tempfile
 
     pairs = d05_minhash_lsh_pairs(spark, sf).select("doc_a", "doc_b")
     # Each round references the label state THREE times (neighbor probe,
@@ -517,11 +520,14 @@ def d08_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     # per-round wall time still grew exponentially after ~10 rounds
     # (measured 0.5 s -> 113 s); a parquet round-trip is a true barrier and
     # stays flat at ~0.5 s/round — and is exactly how a production
-    # iterative job persists per-round state anyway. Intermediate rounds
+    # iterative job persists per-round state anyway. Barriers live under the
+    # warehouse scratch root (operators/resources.py), NOT driver-local
+    # tempfile paths: on a real cluster executors must read the files the
+    # plan references, so they go on the shared store. Intermediate rounds
     # are deleted eagerly; the final round's files back the returned
-    # DataFrame and are left for /tmp cleanup (a real deployment points
-    # this at the job's checkpoint dir).
-    tmp = tempfile.mkdtemp(prefix="d08_cc_")
+    # DataFrame, so the whole dir is registered for harness-driven release
+    # after the caller consumes the result.
+    tmp = scratch_dir(spark, "d08_cc")
 
     def barrier(df: DataFrame, name: str) -> DataFrame:
         p = os.path.join(tmp, name)

@@ -19,9 +19,53 @@ def test_oracle_keys_subset_of_queries():
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
 def test_query_runs_at_smoke_sf(spark, sf_dir, name):
+    from citibike_pipeline_spark.operators.resources import (
+        live_resource_counts,
+        release_query_resources,
+    )
+
     df = entrymod.queries()[name](spark, sf_dir)
     assert df.columns, "query must return named columns"
     df.limit(5).collect()  # executes the plan end-to-end
+    # the operators/resources.py lifecycle contract (r3 verdict: d05/e03
+    # persisted caches leaked in long-lived sessions; d08 scratch dirs):
+    # after the harness releases, NOTHING stays persisted and no scratch
+    # dirs remain — asserted across the full registry, not just the known
+    # holders, so a future operator can't reintroduce the leak.
+    release_query_resources(spark)
+    n_persist, n_scratch = live_resource_counts(spark)
+    assert n_persist == 0, f"{name}: {n_persist} persisted RDDs leaked"
+    assert n_scratch == 0, f"{name}: {n_scratch} scratch dirs leaked"
+
+
+def test_d08_barriers_on_warehouse_seam(spark, sf_dir, tmp_path, monkeypatch):
+    """d08's iteration barriers must live under the warehouse scratch root
+    (cluster-shared store), never driver-local tempfile paths, and the final
+    round's files must be released after consumption (r3 verdict #3)."""
+    import os
+
+    from citibike_pipeline_spark.operators.resources import (
+        release_query_resources,
+        warehouse_scratch_root,
+    )
+    from citibike_pipeline_spark.operators.textops import d08_dup_clusters
+
+    scratch_root = str(tmp_path / "scratch")
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", scratch_root)
+    df = d08_dup_clusters(spark, sf_dir)
+    assert warehouse_scratch_root(spark) == scratch_root
+    # every file backing the returned plan lives under the scratch root
+    files = df.inputFiles()
+    assert files and all(
+        os.path.realpath(f.replace("file:", "")).startswith(
+            os.path.realpath(scratch_root)
+        )
+        for f in files
+    ), files
+    assert df.count() > 0
+    release_query_resources(spark)
+    # scratch fully reclaimed after the harness releases
+    assert not os.path.exists(scratch_root) or not os.listdir(scratch_root)
 
 
 def test_d07_planted_overlap_signal(spark):

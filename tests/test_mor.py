@@ -147,12 +147,18 @@ def test_autocompact_policy_bounds_delta_depth(spark, tmp_path):
         if auto:
             compacts += 1
             assert auto["deltas_folded"] >= 3
+            # deterministic post-fold invariants, checked IMMEDIATELY after
+            # the fold (r3 ADVICE: the old end-of-loop depth==0 guard was
+            # never true because a delta always followed the last fold):
+            # depth resets and the current snapshot is the compact base
+            assert eng.mor_delta_depth() == 0
+            assert (
+                eng.silver.current_snapshot().summary.get("operation")
+                == "compact"
+            )
         assert eng.mor_delta_depth() < 3
     assert compacts >= 1, "threshold of 3 must trigger within 4 epochs"
     pd.testing.assert_frame_equal(silver_pdf(eng), oracle_pdf(), check_dtype=False)
-    # post-compact snapshot is a base fold, not a delta
-    if eng.mor_delta_depth() == 0:
-        assert eng.silver.current_snapshot().summary.get("operation") == "overwrite"
 
 
 def test_autocompact_disabled_accumulates(spark, tmp_path):
