@@ -28,6 +28,10 @@ The Spark-first equivalent keeps the same shape, split for verifiability:
   the real testdata reduction and the classification cross-validated against
   an independent networkx residual-reachability implementation
   (tests/test_flow.py).
+- ``q32b_flow_invariants`` — the hash-checked companion that closes the gate
+  gap: every SQL-checkable max-flow invariant, measured over the actual
+  solve and compared against a DuckDB oracle that derives the expected
+  values from ``lineitem`` alone (see its docstring).
 """
 
 from __future__ import annotations
@@ -296,7 +300,127 @@ def q32_max_flow(spark: SparkSession, sf: str, top_k: int = TOP_K) -> DataFrame:
 # hash-attested q32a result and the solve is pinned vs networkx in pytest.
 Q32_SQL = None
 
+
+def q32b_flow_invariants(spark: SparkSession, sf: str, top_k: int = TOP_K) -> DataFrame:
+    """Invariant oracle for the q32 solve (r3 verdict #2): the argmax itself
+    is outside DuckDB's subset, but every max-flow INVARIANT over the solve's
+    own output is plain SQL-checkable. Each row is one invariant with the
+    MEASURED ok/detail from the actual Edmonds-Karp solution; the DuckDB
+    oracle emits the EXPECTED table — theorem-backed checks expect
+    (true, 0), graph-derived quantities (hub count, min side capacity) are
+    recomputed from ``lineitem`` in pure SQL — so a hash match attests that
+    the driver-side solve is consistent with the hash-attested q32a
+    reduction. Reference analog: the implicit guarantees of
+    ``nx.maximum_flow`` in ``citibike/networks/analysis.py:117-191``.
+
+    Checked: flow ≤ capacity per split edge; conservation at EVERY interior
+    node; total = Σ super-source outflow = supplier-side = part-side
+    throughput; total ≤ min(Σ supplier caps, Σ part caps); per-hub flow ≤
+    incident inter-hub edge capacity; critical/bottleneck hubs saturated
+    (both classifications imply a saturated split edge, else an augmenting
+    path would exist)."""
+    sup, part, edges = _hub_graph(spark, sf, top_k)
+    hub_rows = {r.node: int(r.capacity) for r in sup.unionByName(part).collect()}
+    edge_rows = [(r.src, r.dst) for r in edges.collect()]
+    adj = build_flow_network(hub_rows, edge_rows)
+    value, flow = _edmonds_karp(adj, SUPER_SOURCE, SUPER_SINK)
+    marks = classify_hubs(adj, flow, list(hub_rows))
+    split = {h: flow.get(f"{h}_in", {}).get(f"{h}_out", 0.0) for h in hub_rows}
+
+    sup_nodes = sorted(h for h in hub_rows if h.startswith("s"))
+    part_nodes = sorted(h for h in hub_rows if h.startswith("p"))
+
+    # net flow per interior node: Σ in − Σ out over the flow assignment
+    net: dict[str, float] = {}
+    for u, nbrs in flow.items():
+        for v, f in nbrs.items():
+            net[v] = net.get(v, 0.0) + f
+            net[u] = net.get(u, 0.0) - f
+    conservation_violations = sum(
+        1
+        for n, d in net.items()
+        if n not in (SUPER_SOURCE, SUPER_SINK) and abs(d) > 1e-9
+    )
+
+    # incident inter-hub edge capacity per hub (edge cap = min endpoint cap)
+    out_cap: dict[str, float] = {}
+    in_cap: dict[str, float] = {}
+    for s, d in edge_rows:
+        c = float(min(hub_rows[s], hub_rows[d]))
+        out_cap[s] = out_cap.get(s, 0.0) + c
+        in_cap[d] = in_cap.get(d, 0.0) + c
+    edge_bound_violations = sum(
+        1 for h in sup_nodes if split[h] > out_cap.get(h, 0.0) + 1e-9
+    ) + sum(1 for h in part_nodes if split[h] > in_cap.get(h, 0.0) + 1e-9)
+
+    sup_flow = sum(split[h] for h in sup_nodes)
+    part_flow = sum(split[h] for h in part_nodes)
+    source_out = sum(flow.get(SUPER_SOURCE, {}).values())
+    min_side_cap = min(
+        sum(hub_rows[h] for h in sup_nodes), sum(hub_rows[h] for h in part_nodes)
+    )
+    saturated = lambda h: split[h] >= hub_rows[h] - 1e-9  # noqa: E731
+
+    checks: list[tuple[str, bool, int]] = [
+        ("n_hubs", len(hub_rows) == len(sup_nodes) + len(part_nodes), len(hub_rows)),
+        (
+            "flow_le_capacity_violations",
+            True,
+            sum(1 for h in hub_rows if split[h] > hub_rows[h] + 1e-9),
+        ),
+        ("node_conservation_violations", True, conservation_violations),
+        ("split_side_throughput_gap", True, int(abs(sup_flow - part_flow))),
+        ("total_vs_source_outflow_gap", True, int(abs(value - source_out))),
+        ("total_vs_supplier_throughput_gap", True, int(abs(value - sup_flow))),
+        ("flow_value_le_min_side_capacity", value <= min_side_cap + 1e-9, min_side_cap),
+        ("edge_capacity_bound_violations", True, edge_bound_violations),
+        (
+            "critical_saturation_violations",
+            True,
+            sum(1 for h in hub_rows if marks[h][0] and not saturated(h)),
+        ),
+        (
+            "bottleneck_saturation_violations",
+            True,
+            sum(1 for h in hub_rows if marks[h][1] and not saturated(h)),
+        ),
+    ]
+    # theorem-backed rows expect detail == 0; fold the measurement into ok
+    # so a violation flips BOTH fields (belt and braces for the hash)
+    rows = [
+        (name, bool(ok) and (detail == 0 if name.endswith(("violations", "gap")) else True), int(detail))
+        for name, ok, detail in checks
+    ]
+    return spark.createDataFrame(rows, "invariant string, ok boolean, detail long")
+
+
+Q32B_SQL = f"""
+WITH sup AS (
+  SELECT 's' || l_suppkey AS node, COUNT(*) AS capacity
+  FROM lineitem GROUP BY 1 ORDER BY capacity DESC, node LIMIT {TOP_K}
+),
+part AS (
+  SELECT 'p' || l_partkey AS node, COUNT(*) AS capacity
+  FROM lineitem GROUP BY 1 ORDER BY capacity DESC, node LIMIT {TOP_K}
+)
+SELECT 'n_hubs' AS invariant, TRUE AS ok,
+       CAST((SELECT COUNT(*) FROM sup) + (SELECT COUNT(*) FROM part) AS BIGINT) AS detail
+UNION ALL SELECT 'flow_le_capacity_violations', TRUE, 0
+UNION ALL SELECT 'node_conservation_violations', TRUE, 0
+UNION ALL SELECT 'split_side_throughput_gap', TRUE, 0
+UNION ALL SELECT 'total_vs_source_outflow_gap', TRUE, 0
+UNION ALL SELECT 'total_vs_supplier_throughput_gap', TRUE, 0
+UNION ALL SELECT 'flow_value_le_min_side_capacity', TRUE,
+       (SELECT CAST(LEAST(s.c, p.c) AS BIGINT)
+        FROM (SELECT SUM(capacity) AS c FROM sup) s,
+             (SELECT SUM(capacity) AS c FROM part) p)
+UNION ALL SELECT 'edge_capacity_bound_violations', TRUE, 0
+UNION ALL SELECT 'critical_saturation_violations', TRUE, 0
+UNION ALL SELECT 'bottleneck_saturation_violations', TRUE, 0
+"""
+
 FLOW = {
     "q32a_flow_reduction": (q32a_flow_reduction, Q32A_SQL),
     "q32_max_flow": (q32_max_flow, Q32_SQL),
+    "q32b_flow_invariants": (q32b_flow_invariants, Q32B_SQL),
 }

@@ -157,3 +157,21 @@ def test_q32_solve_pinned_on_testdata(spark):
     assert any(c for c, _ in want_marks.values()) or any(
         b for _, b in want_marks.values()
     )
+
+
+def test_q32b_invariant_oracle_all_ok(spark):
+    """The q32b companion entry (r3 verdict #2): every SQL-checkable
+    max-flow invariant must hold on the real testdata solve — ok=True on
+    each row, zero for every violation/gap counter, and the value bound
+    row carrying the graph-derived min side capacity."""
+    from citibike_pipeline_spark.operators.flow import q32b_flow_invariants
+
+    pdf = q32b_flow_invariants(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(pdf) == 10
+    assert pdf.ok.all(), pdf[~pdf.ok]
+    counters = pdf[pdf.invariant.str.endswith(("violations", "gap"))]
+    assert (counters.detail == 0).all(), counters
+    assert int(pdf[pdf.invariant == "n_hubs"].iloc[0].detail) > 0
+    assert int(
+        pdf[pdf.invariant == "flow_value_le_min_side_capacity"].iloc[0].detail
+    ) > 0
