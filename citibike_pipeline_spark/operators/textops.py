@@ -524,7 +524,11 @@ def d08_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     import os
     import shutil
 
-    pairs = d05_minhash_lsh_pairs(spark, sf).select("doc_a", "doc_b")
+    # PERSISTED: the adjacency union references the pair set twice (forward
+    # + swapped direction) — without a cache the entire d05 LSH pipeline
+    # executes twice inside the adj barrier (measured 12.5 s vs ~4 s for
+    # one pass at sf0.1). Released by the harness (operators/resources.py).
+    pairs = scoped_persist(d05_minhash_lsh_pairs(spark, sf).select("doc_a", "doc_b"))
     # Each round references the label state THREE times (neighbor probe,
     # pointer jump, carry-forward), so the iteration needs a hard barrier
     # per round or the plan/lineage compounds. localCheckpoint is NOT
@@ -541,9 +545,18 @@ def d08_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     # after the caller consumes the result.
     tmp = scratch_dir(spark, "d08_cc")
 
+    # Barrier files are sized to the LABEL TABLE, not the session's shuffle
+    # width: the per-round state is O(nodes-in-pair-graph) rows, far below
+    # the corpus, so writing it 32-ways just multiplies task overhead by
+    # 16 rounds (measured ~2x on the round loop at sf0.1). ~500k rows per
+    # file is the same heuristic a production CC loop uses; coalesce is a
+    # narrow op — no extra shuffle.
+    n_nodes = max(int(pairs.count()) * 2, 1)
+    barrier_parts = max(1, n_nodes // 500_000 + (1 if n_nodes % 500_000 else 0))
+
     def barrier(df: DataFrame, name: str) -> DataFrame:
         p = os.path.join(tmp, name)
-        df.write.mode("overwrite").parquet(p)
+        df.coalesce(barrier_parts).write.mode("overwrite").parquet(p)
         return spark.read.parquet(p)
 
     adj = barrier(
@@ -558,6 +571,14 @@ def d08_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("label", F.col("doc_id")),
         "r0",
     )
+    # Convergence early-stop: every update strictly DECREASES some label
+    # (min-propagation is monotone), so an unchanged label-sum across a
+    # round means the fixed point is reached and all remaining rounds are
+    # identities — the unrolled DuckDB oracle runs the full D08_ROUNDS and
+    # lands on the identical state. The sum rides on the barrier read
+    # (one cheap agg per round); at sf0.01 this stops at 13/16, at sf0.1
+    # earlier — rounds saved are parquet round-trips saved.
+    prev_sum = None
     for i in range(D08_ROUNDS):
         prop = (
             adj.join(labels, adj.doc_b == labels.doc_id)
@@ -582,6 +603,12 @@ def d08_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
             f"r{i + 1}",
         )
         shutil.rmtree(os.path.join(tmp, f"r{i}"), ignore_errors=True)
+        # exact: per-doc labels only ever decrease (least(...) includes the
+        # old label), so an unchanged SUM means NO label changed
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break  # fixed point — identical to running all D08_ROUNDS
+        prev_sum = cur_sum
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(F.broadcast(sizes), "label").select(
         "doc_id", F.col("label").alias("cluster_id"), "cluster_size"
