@@ -438,10 +438,61 @@ SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS sim FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# e06: int8 embedding quantization — symmetric per-vector scaling, the
+# storage/serving compression step an ANN index applies before sharding
+# (4x smaller vectors, dot products in integer SIMD at serve time).
+# Spark-first shape: scale and quantized values are ONE narrow projection
+# with posexplode — zero shuffles, scan-parallel at any corpus size.
+# Cross-engine exactness: float->double casts are exact, the expression is
+# the same left-associated IEEE double arithmetic in both engines, and
+# FLOOR avoids the CAST-rounds-vs-truncates divergence; zero vectors quantize
+# to 0 behind an explicit scale>0 guard.
+# --------------------------------------------------------------------------
+
+def e06_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    emb = T(spark, sf, "embeddings")
+    scale = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    )
+    return emb.select(
+        "vec_id",
+        F.round(scale, 9).alias("scale"),
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("dim", "v"),
+    ).select(
+        "vec_id",
+        "dim",
+        F.when(
+            F.col("scale") > 0, F.floor(F.col("v") / F.col("scale") * 127).cast("int")
+        )
+        .otherwise(0)
+        .alias("q"),
+        "scale",
+    )
+
+
+E06_SQL = f"""
+SELECT vec_id, i - 1 AS dim,
+       CASE WHEN scale > 0
+            THEN CAST(FLOOR(CAST(embedding[i] AS DOUBLE) / scale * 127) AS INT)
+            ELSE 0 END AS q,
+       scale
+FROM (
+  SELECT vec_id, embedding,
+         ROUND(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 9)
+           AS scale
+  FROM embeddings
+), generate_series(1, {DIMS}) t(i)
+"""
+
+
 EMBEDDINGS = {
     "e01_cosine_topk": (e01_cosine_topk, E01_SQL),
     "e02_lsh_buckets": (e02_lsh_buckets, E02_SQL),
     "e03_neardup_pairs": (e03_neardup_pairs, E03_SQL),
     "e04_label_centroids": (e04_label_centroids, E04_SQL),
     "e05_ivf_topk": (e05_ivf_topk, E05_SQL),
+    "e06_quantize_int8": (e06_quantize_int8, E06_SQL),
 }

@@ -653,6 +653,102 @@ FROM {prev} l JOIN sizes s ON l.label = s.label
 D08_SQL = _d08_sql()
 
 
+# --------------------------------------------------------------------------
+# d09: sequence packing — assign documents to fixed-token-budget training
+# shards, the step that turns a cleaned corpus into the shard list a trainer
+# consumes. Spark-first shape: token counts are a narrow projection; the
+# running offset is ONE window partitioned by `source` (the shard group), so
+# the sort is bounded per source, never global — the same reason production
+# packing runs per input bundle. Semantics: contiguous token-offset
+# chunking within (source, doc_id) order — a document whose offset starts
+# before a boundary joins the earlier shard (shards can overflow by at most
+# one document), the deterministic, window-expressible packing rule.
+# --------------------------------------------------------------------------
+
+PACK_TOKEN_BUDGET = 512
+
+
+def d09_sequence_packing(
+    spark: SparkSession, sf: str, budget: int = PACK_TOKEN_BUDGET
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = T(spark, sf, "documents")
+    base = docs.select("doc_id", "source", F.size(_words()).alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(prev_cum / F.lit(float(budget))).cast("int").alias("shard"),
+    )
+
+
+D09_SQL = f"""
+SELECT doc_id, source, n_tokens,
+       CAST(FLOOR(prev_cum / {float(PACK_TOKEN_BUDGET)}) AS INT) AS shard
+FROM (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_tokens,
+         COALESCE(SUM(len(string_split(text, ' '))) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_cum
+  FROM documents
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# d10: deterministic train/val/test split — hash-bucketed by salted doc_id,
+# the reproducible split every training pipeline needs (re-runs, adding
+# data, or re-sharding must never move a document across splits). The md5
+# hex PREFIX is compared lexicographically, which is identical in Spark and
+# DuckDB and avoids any hex->int conversion differences; bounds 'e6'/'f3'
+# give ~89.8% / ~5.1% / ~5.1%. Pure narrow projection — zero shuffles.
+# --------------------------------------------------------------------------
+
+SPLIT_SEED = "split-seed-1"
+SPLIT_TRAIN_BOUND = "e6"  # hex[0:2] < 'e6'  -> train (230/256)
+SPLIT_VAL_BOUND = "f3"    # hex[0:2] < 'f3'  -> val   (13/256)
+
+
+def d10_train_split(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    h2 = F.substring(
+        F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.lit(SPLIT_SEED))),
+        1,
+        2,
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        h2.alias("bucket"),
+        F.when(h2 < SPLIT_TRAIN_BOUND, "train")
+        .when(h2 < SPLIT_VAL_BOUND, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+D10_SQL = f"""
+SELECT doc_id, source,
+       substring(md5(CAST(doc_id AS VARCHAR) || '|' || '{SPLIT_SEED}'), 1, 2) AS bucket,
+       CASE
+         WHEN substring(md5(CAST(doc_id AS VARCHAR) || '|' || '{SPLIT_SEED}'), 1, 2)
+              < '{SPLIT_TRAIN_BOUND}' THEN 'train'
+         WHEN substring(md5(CAST(doc_id AS VARCHAR) || '|' || '{SPLIT_SEED}'), 1, 2)
+              < '{SPLIT_VAL_BOUND}' THEN 'val'
+         ELSE 'test'
+       END AS split
+FROM documents
+"""
+
+
 TEXTOPS = {
     "d01_exact_dedup": (d01_exact_dedup, D01_SQL),
     "d02_token_stats": (d02_token_stats, D02_SQL),
@@ -662,4 +758,6 @@ TEXTOPS = {
     "d06_simhash": (d06_simhash, D06_SQL),
     "d07_jaccard_pairs": (d07_jaccard_pairs, D07_SQL),
     "d08_dup_clusters": (d08_dup_clusters, D08_SQL),
+    "d09_sequence_packing": (d09_sequence_packing, D09_SQL),
+    "d10_train_split": (d10_train_split, D10_SQL),
 }

@@ -113,3 +113,60 @@ def test_q29b_polygon_tighter_than_bbox(spark):
         assert got[zone] < n_bbox, (
             f"{zone}: polygon count {got[zone]} not tighter than bbox {n_bbox}"
         )
+
+
+def test_d09_packing_semantics(spark):
+    """Shards are contiguous per source, start at 0, and respect the token
+    budget up to the documented one-document overflow."""
+    from citibike_pipeline_spark.operators.textops import (
+        PACK_TOKEN_BUDGET,
+        d09_sequence_packing,
+    )
+
+    pdf = d09_sequence_packing(spark, "/root/testdata/sf0.01").toPandas()
+    assert (pdf.groupby("source").shard.min() == 0).all()
+    for (_, shard), g in pdf.groupby(["source", "shard"]):
+        total = g.n_tokens.sum()
+        # a shard holds the docs whose offset starts inside its budget
+        # window, so it can exceed the budget by at most its last doc
+        assert total < PACK_TOKEN_BUDGET + g.n_tokens.max()
+    # shards are dense 0..max per source
+    for _, g in pdf.groupby("source"):
+        shards = sorted(g.shard.unique())
+        assert shards == list(range(len(shards)))
+
+
+def test_d10_split_proportions_and_determinism(spark):
+    from citibike_pipeline_spark.operators.textops import d10_train_split
+
+    pdf = d10_train_split(spark, "/root/testdata/sf0.01").toPandas()
+    frac = pdf.split.value_counts(normalize=True)
+    assert 0.84 <= frac["train"] <= 0.95           # expected ~0.898
+    assert 0.01 <= frac.get("val", 0) <= 0.11      # expected ~0.051
+    assert 0.01 <= frac.get("test", 0) <= 0.11
+    # deterministic: a second run assigns identically
+    pdf2 = d10_train_split(spark, "/root/testdata/sf0.01").toPandas()
+    assert pdf.sort_values("doc_id").split.tolist() == pdf2.sort_values("doc_id").split.tolist()
+
+
+def test_e06_quantization_bounds_and_reconstruction(spark):
+    """Quantized values stay in int8 range; dequantized vectors reconstruct
+    within one quantization step per dimension."""
+    import numpy as np
+
+    from citibike_pipeline_spark.operators.embeddings import e06_quantize_int8
+    from citibike_pipeline_spark.operators.io import T
+
+    sf = "/root/testdata/sf0.01"
+    q = e06_quantize_int8(spark, sf).toPandas()
+    assert q.q.between(-128, 127).all()
+    orig = {
+        r.vec_id: np.array(r.embedding, dtype="float64")
+        for r in T(spark, sf, "embeddings").limit(50).collect()
+    }
+    for vec_id, g in q[q.vec_id.isin(orig)].groupby("vec_id"):
+        g = g.sort_values("dim")
+        scale = g.scale.iloc[0]
+        recon = g.q.to_numpy() * scale / 127.0
+        step = scale / 127.0
+        assert np.abs(recon - orig[vec_id]).max() <= step + 1e-12
