@@ -1,0 +1,125 @@
+"""Physical-plan audits — the scale properties enforced, not just claimed.
+
+A query can be value-correct and still carry a plan that dies at 100 TB:
+an unpushed filter re-scans the table, a missed broadcast shuffles a fact
+against a dim, a cartesian product explodes. These tests read the ACTUAL
+plans Catalyst produces for the registry queries and assert the properties
+the BENCH/SURVEY notes promise, so a refactor that silently degrades a plan
+fails CI instead of a future benchmark round.
+"""
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+# Operators whose construction runs driver-side jobs (iterative barriers,
+# bounded-graph collects) — their inner per-stage plans are asserted by
+# their own tests; the registry sweep here checks the pure-plan entries.
+_ITERATIVE = {
+    "d08_dup_clusters",
+    "q31_closeness",
+    "q32_max_flow",
+    "q32b_flow_invariants",
+    "q28_pagerank",
+}
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "extended"
+        )
+    )
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(entrymod.queries()) - _ITERATIVE)
+)
+def test_no_cartesian_products(spark, sf_dir, name):
+    """No plan may contain a CartesianProduct: every intentional cross join
+    in the registry is against a broadcast-small frame and must plan as
+    BroadcastNestedLoopJoin, never a shuffled cartesian."""
+    df = entrymod.queries()[name](spark, sf_dir)
+    assert "CartesianProduct" not in _plan(df), name
+
+
+def test_q01_filter_pushdown_and_partial_agg(spark, sf_dir):
+    """The shipdate filter must reach the parquet scan (PushedFilters) and
+    the aggregate must be partial+final (map-side combine before the
+    exchange) — the two properties that keep a 100 TB scan+agg viable."""
+    plan = _plan(entrymod.queries()["q01_pricing_summary"](spark, sf_dir))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:300]
+    assert plan.count("HashAggregate") >= 2, "expected partial+final aggregation"
+
+
+def test_q02_broadcasts_dims(spark, sf_dir):
+    """nation/region/customer-side dims must broadcast — a shuffle join of
+    the fact table against a 25-row dim is the classic scale bug."""
+    plan = _plan(entrymod.queries()["q02_revenue_by_nation"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_q03_column_pruning(spark, sf_dir):
+    """The rolling-window top-parts query touches 3 lineitem columns; the
+    scan's ReadSchema must not drag the rest of the table through IO."""
+    plan = _plan(entrymod.queries()["q03_rolling_90d_top_parts"](spark, sf_dir))
+    read = plan.split("ReadSchema", 1)[1][:400]
+    for needed in ("l_partkey", "l_shipdate"):
+        assert needed in read, f"{needed} missing from ReadSchema"
+    for pruned in ("l_returnflag", "l_linestatus", "l_tax", "l_orderkey"):
+        assert pruned not in read, f"{pruned} not pruned from scan"
+
+
+def test_d01_partial_agg_on_hash(spark, sf_dir):
+    """Exact dedup is a hash groupBy: map-side partial aggregation must
+    collapse duplicates before the one exchange."""
+    plan = _plan(entrymod.queries()["d01_exact_dedup"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") <= 2  # group shuffle (+AQE reuse at most)
+
+
+def test_e06_zero_shuffle(spark, sf_dir):
+    """Quantization is a pure narrow projection — any Exchange in this plan
+    is a regression."""
+    plan = _plan(entrymod.queries()["e06_quantize_int8"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_d10_zero_shuffle(spark, sf_dir):
+    plan = _plan(entrymod.queries()["d10_train_split"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_d09_single_window_exchange(spark, sf_dir):
+    """Packing is one window partitioned by source: exactly one hash
+    exchange (on source), no global sort."""
+    plan = _plan(entrymod.queries()["d09_sequence_packing"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan, "global sort crept into packing"
+
+
+def test_silver_merge_reads_prune_buckets(spark, tmp_path):
+    """The CDC merge's target scan must list only touched-bucket files —
+    the manifest prune that keeps per-epoch cost O(changes), checked at the
+    plan's file-source level."""
+    from citibike_pipeline_spark.lake import LakeCatalog
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("k", StringType(), False),
+            StructField("v", StringType(), True),
+            StructField("op", StringType(), False),
+            StructField("lsn", LongType(), False),
+        ]
+    )
+    cat = LakeCatalog(spark, str(tmp_path / "wh"))
+    t = cat.create_table("ns.prune", schema, key_cols=["k"], n_buckets=8)
+    rows = [(f"k{i}", "v", "I", i) for i in range(64)]
+    t.append(spark.createDataFrame(rows, schema))
+    pruned = t.read(buckets=[0, 1])
+    files = pruned.inputFiles()
+    all_files = t.read().inputFiles()
+    assert 0 < len(files) < len(all_files)
+    assert all("_bucket=0" in f or "_bucket=1" in f for f in files)
