@@ -112,6 +112,89 @@ SELECT doc_id,
 FROM documents
 """
 
+# --------------------------------------------------------------------------
+# m02: frame sampling — slice a video-ish binary payload into fixed-size
+# frames and keep an evenly-strided sample, the standard pre-processing step
+# before per-frame feature extraction. The FRAME DECODE stays a byte-slice
+# stand-in (no media libs in this container — a real deployment decodes
+# with ffmpeg/PyAV inside the same kernel); the Spark-side plumbing is the
+# real thing: mapInPandas with a VARIABLE number of output rows per input
+# row (one per sampled frame), Arrow-batched, metadata typed. Frame
+# boundaries and the stride are deterministic byte arithmetic, so the whole
+# sampled-frame table (offsets, lengths, md5s) is hash-checked against a
+# DuckDB oracle — exactness the decode stub cannot fake.
+# --------------------------------------------------------------------------
+
+FRAME_BYTES = 256      # fixed frame size in bytes (the decode-stub "frame")
+FRAME_SAMPLE_TARGET = 4  # keep ~this many evenly-strided frames per payload
+
+
+def sample_frames(df: DataFrame) -> DataFrame:
+    """mapInPandas: binary payload rows -> one row per SAMPLED frame."""
+    import math
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("n_frames", IntegerType(), False),
+            StructField("frame_idx", IntegerType(), False),
+            StructField("frame_bytes", IntegerType(), False),
+            StructField("frame_md5", StringType(), False),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {k: [] for k in ("doc_id", "n_frames", "frame_idx",
+                                   "frame_bytes", "frame_md5")}
+            for doc_id, payload in zip(b["doc_id"], b["payload"]):
+                n_frames = math.ceil(len(payload) / FRAME_BYTES)
+                stride = max(1, n_frames // FRAME_SAMPLE_TARGET)
+                for i in range(0, n_frames, stride):
+                    chunk = payload[i * FRAME_BYTES:(i + 1) * FRAME_BYTES]
+                    out["doc_id"].append(doc_id)
+                    out["n_frames"].append(n_frames)
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(len(chunk))
+                    out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "n_frames": "int32", "frame_idx": "int32",
+                 "frame_bytes": "int32"}
+            )
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def m02_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    media = docs.select(
+        "doc_id", F.encode("text", "UTF-8").cast(BinaryType()).alias("payload")
+    )
+    return sample_frames(media)
+
+
+# The corpus is pure ASCII (verified: strlen == length for every doc at all
+# SFs), so character slicing in SQL equals the kernel's byte slicing.
+M02_SQL = f"""
+WITH m AS (
+  SELECT doc_id, text,
+         CAST(CEIL(strlen(text) / {float(FRAME_BYTES)}) AS INT) AS n_frames
+  FROM documents
+),
+s AS (SELECT *, GREATEST(n_frames // {FRAME_SAMPLE_TARGET}, 1) AS stride FROM m),
+f AS (
+  SELECT doc_id, text, n_frames, stride,
+         CAST(UNNEST(generate_series(0, n_frames - 1)) AS INT) AS frame_idx
+  FROM s
+)
+SELECT doc_id, n_frames, frame_idx,
+       CAST(strlen(substring(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS INT)
+         AS frame_bytes,
+       md5(substring(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5
+FROM f WHERE frame_idx % stride = 0
+"""
+
 MULTIMODAL = {
     "m01_media_metadata": (m01_media_metadata, M01_SQL),
+    "m02_frame_sample": (m02_frame_sample, M02_SQL),
 }

@@ -749,6 +749,109 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# d11: benchmark-contamination check — count 5-gram overlap between every
+# training document and a benchmark/eval set, the decontamination step run
+# before any corpus ships to training. Spark-first shape: the benchmark's
+# distinct grams BROADCAST (eval sets are tiny vs the corpus by
+# definition), the corpus side is one explode + one equi-join + one per-doc
+# aggregate — no self-join, no all-pairs. The "benchmark" here is the
+# PLANT_EVERY doc cohort, and the corpus is the d07 planted-overlap corpus,
+# so the check is exercised at two overlap levels (near-identical plants,
+# half-overlap plants) plus organic duplicates — ≥20 rows of signal, not
+# the 1 organic row a bare corpus yields (the d07 lesson, r2 verdict).
+# --------------------------------------------------------------------------
+
+CONTAM_NGRAM = 5            # benchmark-overlap gram width
+CONTAM_THRESHOLD = 5        # shared distinct grams ⇒ contaminated
+
+
+def _word_ngrams(n: int, col: str = "text"):
+    """Word n-gram array, O(words): fold zip_with over n-1 shifted slices
+    (same anti-inlining shape as _word_bigrams). Callers must filter docs
+    with >= n words — the trailing partial positions are sliced off, so
+    every emitted gram is full-width."""
+    w = _words(col)
+    out = w
+    for k in range(1, n):
+        out = F.zip_with(
+            out,
+            F.slice(w, k + 1, F.greatest(F.size(w) - k, F.lit(1))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.slice(out, 1, F.greatest(F.size(w) - (n - 1), F.lit(1)))
+
+
+def d11_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _planted_overlap_docs(T(spark, sf, "documents")).filter(
+        F.size(_words()) >= CONTAM_NGRAM
+    )
+    grams = docs.select(
+        "doc_id", F.explode(F.array_distinct(_word_ngrams(CONTAM_NGRAM))).alias("g")
+    )
+    # benchmark = BOTH plant cohorts' originals, so the planted hi copies
+    # (near-identical) and mid copies (half-overlap) both register —
+    # contamination at two overlap levels
+    in_bench = (F.col("doc_id") % PLANT_EVERY).isin(0, PLANT_MID_PHASE) & (
+        F.col("doc_id") < PLANT_ID_HI
+    )
+    bench = grams.filter(in_bench).select("g").distinct()
+    shared = (
+        grams.filter(~in_bench)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    return shared.select(
+        "doc_id",
+        "n_shared_grams",
+        (F.col("n_shared_grams") >= CONTAM_THRESHOLD).alias("is_contaminated"),
+    )
+
+
+D11_SQL = f"""
+WITH ws AS (
+  SELECT doc_id, source, text, string_split(text, ' ') AS w FROM documents
+),
+aug AS (
+  SELECT doc_id, text FROM ws
+  UNION ALL
+  SELECT doc_id + {PLANT_ID_HI},
+         array_to_string(list_slice(w, 3, len(w)), ' ')
+  FROM ws WHERE doc_id % {PLANT_EVERY} = 0 AND len(w) >= {PLANT_MIN_WORDS}
+  UNION ALL
+  SELECT doc_id + {PLANT_ID_MID},
+         array_to_string(
+           list_slice(w, CAST(FLOOR(len(w) / 2) AS INT), len(w)), ' ')
+  FROM ws WHERE doc_id % {PLANT_EVERY} = {PLANT_MID_PHASE}
+    AND len(w) >= {PLANT_MIN_WORDS}
+),
+grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(
+             generate_series(1, len(string_split(text, ' ')) - {CONTAM_NGRAM - 1}),
+             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                  || ' ' || string_split(text, ' ')[i+2] || ' '
+                  || string_split(text, ' ')[i+3] || ' '
+                  || string_split(text, ' ')[i+4])) AS g
+    FROM aug WHERE len(string_split(text, ' ')) >= {CONTAM_NGRAM}
+  )
+),
+bench AS (
+  SELECT DISTINCT g FROM grams
+  WHERE doc_id % {PLANT_EVERY} IN (0, {PLANT_MID_PHASE})
+    AND doc_id < {PLANT_ID_HI}
+)
+SELECT c.doc_id, COUNT(*) AS n_shared_grams,
+       COUNT(*) >= {CONTAM_THRESHOLD} AS is_contaminated
+FROM grams c JOIN bench b ON c.g = b.g
+WHERE NOT (c.doc_id % {PLANT_EVERY} IN (0, {PLANT_MID_PHASE})
+           AND c.doc_id < {PLANT_ID_HI})
+GROUP BY c.doc_id
+"""
+
+
 TEXTOPS = {
     "d01_exact_dedup": (d01_exact_dedup, D01_SQL),
     "d02_token_stats": (d02_token_stats, D02_SQL),
@@ -760,4 +863,5 @@ TEXTOPS = {
     "d08_dup_clusters": (d08_dup_clusters, D08_SQL),
     "d09_sequence_packing": (d09_sequence_packing, D09_SQL),
     "d10_train_split": (d10_train_split, D10_SQL),
+    "d11_contamination": (d11_contamination, D11_SQL),
 }

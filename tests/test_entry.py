@@ -170,3 +170,53 @@ def test_e06_quantization_bounds_and_reconstruction(spark):
         recon = g.q.to_numpy() * scale / 127.0
         step = scale / 127.0
         assert np.abs(recon - orig[vec_id]).max() <= step + 1e-12
+
+
+def test_m02_frame_sampling_semantics(spark):
+    """Sampled frames cover every payload with the documented stride: first
+    frame always present, indices strided, frame bytes == FRAME_BYTES except
+    the tail, md5s match a direct byte-slice recomputation."""
+    import hashlib
+    import math
+
+    from citibike_pipeline_spark.operators.io import T
+    from citibike_pipeline_spark.operators.multimodal import (
+        FRAME_BYTES,
+        FRAME_SAMPLE_TARGET,
+        m02_frame_sample,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    pdf = m02_frame_sample(spark, sf).toPandas()
+    texts = {r.doc_id: r.text.encode() for r in T(spark, sf, "documents").limit(40).collect()}
+    assert (pdf.groupby("doc_id").frame_idx.min() == 0).all()
+    for doc_id, g in pdf[pdf.doc_id.isin(texts)].groupby("doc_id"):
+        payload = texts[doc_id]
+        n_frames = math.ceil(len(payload) / FRAME_BYTES)
+        stride = max(1, n_frames // FRAME_SAMPLE_TARGET)
+        assert sorted(g.frame_idx) == list(range(0, n_frames, stride))
+        for r in g.itertuples():
+            chunk = payload[r.frame_idx * FRAME_BYTES:(r.frame_idx + 1) * FRAME_BYTES]
+            assert r.frame_bytes == len(chunk)
+            assert r.frame_md5 == hashlib.md5(chunk).hexdigest()
+
+
+def test_d11_contamination_two_overlap_levels(spark):
+    """Planted near-identical copies must register as contaminated and
+    half-overlap copies must register with materially fewer shared grams —
+    the check discriminates, it doesn't just flag."""
+    from citibike_pipeline_spark.operators.textops import (
+        PLANT_ID_HI,
+        PLANT_ID_MID,
+        d11_contamination,
+    )
+
+    pdf = d11_contamination(spark, "/root/testdata/sf0.01").toPandas()
+    near = pdf[(pdf.doc_id >= PLANT_ID_HI) & (pdf.doc_id < PLANT_ID_MID)]
+    half = pdf[pdf.doc_id >= PLANT_ID_MID]
+    assert len(near) >= 5 and len(half) >= 5
+    assert near.is_contaminated.all()
+    assert half.is_contaminated.all()
+    # near-identical plants share strictly more grams than half-overlap
+    # plants (sf0.01 medians: 47 vs 27)
+    assert near.n_shared_grams.median() > half.n_shared_grams.median()
