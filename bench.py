@@ -40,9 +40,15 @@ HEADLINE = [
     "d05_minhash_lsh_pairs",
     "d07_jaccard_pairs",
     "d08_dup_clusters",
+    # round-4 training-data ops
+    "d09_sequence_packing",
+    "d10_train_split",
+    "d11_contamination",
     "e01_cosine_topk",
     "e03_neardup_pairs",
     "e05_ivf_topk",
+    "e06_quantize_int8",
+    "m02_frame_sample",
 ]
 
 
