@@ -218,12 +218,18 @@ def q28_pagerank(spark: SparkSession, sf: str) -> DataFrame:
             F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
         ).agg(F.count(F.lit(1)).alias("w"))
     )
-    # out-weight per src, edge transition probability
+    # out-weight per src, edge transition probability.
+    # trans/nodes are PERSISTED: every power iteration references both, so
+    # without a cache the final plan re-aggregates lineitem ~2x per
+    # iteration (the q31 compounding trap). Released by the harness via
+    # operators/resources.py.
     out = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
-    trans = edges.join(out, "src").select(
-        "src", "dst", (F.col("w").cast("double") / F.col("w_out")).alias("p")
+    trans = scoped_persist(
+        edges.join(out, "src").select(
+            "src", "dst", (F.col("w").cast("double") / F.col("w_out")).alias("p")
+        )
     )
-    nodes = (
+    nodes = scoped_persist(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
