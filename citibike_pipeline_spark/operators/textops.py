@@ -340,24 +340,36 @@ def d06_simhash(spark: SparkSession, sf: str, bits: int | None = None) -> DataFr
     docs = T(spark, sf, "documents")
     if bits is None:
         bits = auto_simhash_bits(docs.count())  # 8 at the gate corpus
-    w = _words()
-    # bit j of a token = high bit of hex nibble j+1 of md5(token)
-    def bit_sum(j: int):
-        return F.aggregate(
-            w,
-            F.lit(0),
-            lambda acc, t: acc
-            + F.when(
-                F.substring(F.md5(t), j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+    # bit j of a token = high bit of hex nibble j+1 of md5(token).
+    # EXPLODE + hash once + one grouped aggregate (the d05 lesson): the
+    # per-bit array-fold alternative evaluates md5(token) once PER BIT —
+    # O(bits x words) digests per doc, and the auto-sized width multiplies
+    # it (12 bits at sf0.1: measured 2.3 s -> 0.6 s). Here each token is
+    # hashed exactly once; the per-bit +/-1 sums combine map-side before
+    # the one shuffle on doc_id.
+    hashes = docs.select("doc_id", F.explode(_words()).alias("t")).select(
+        "doc_id", F.md5("t").alias("h")
+    )
+    bit_cols = [
+        F.sum(
+            F.when(
+                F.substring("h", j + 1, 1).isin(
+                    "8", "9", "a", "b", "c", "d", "e", "f"
+                ),
                 1,
-            ).otherwise(-1),
-        )
-
+            ).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    per_doc = hashes.groupBy("doc_id").agg(*bit_cols)
     simhash = sum(
-        (F.when(bit_sum(j) > 0, F.lit(2 ** j)).otherwise(F.lit(0)) for j in range(bits)),
+        (
+            F.when(F.col(f"b{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+            for j in range(bits)
+        ),
         start=F.lit(0),
     )
-    hashed = docs.select("doc_id", simhash.alias("simhash"))
+    hashed = per_doc.select("doc_id", simhash.alias("simhash"))
     return hashed.groupBy("simhash").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id")
     )
