@@ -36,6 +36,16 @@ def main() -> None:
     ap.add_argument("--merge-mode", choices=["cow", "mor"], default="cow",
                     help="cow = copy-on-write MERGE (default); mor = merge-on-read "
                          "delta append with read-time LWW resolve")
+    ap.add_argument("--write-salt", type=int, default=4,
+                    help="hot-bucket writer spread (see BENCH/skew_ab.py for "
+                         "when this pays; 1 disables salting)")
+    ap.add_argument("--day-partition", action="store_true",
+                    help="full-width silver layout: days(ts) x bucket(conv_id) "
+                         "(the 10^10-row spec; small-file pressure at toy scale)")
+    ap.add_argument("--streaming", action="store_true",
+                    help="apply the landed epochs through the Structured "
+                         "Streaming tail (readStream -> foreachBatch, same LWW "
+                         "merge) instead of the batch replay")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--from-checkpoint", action="store_true",
                     help="resume from the existing warehouse checkpoint")
@@ -66,13 +76,18 @@ def main() -> None:
             else max(args.epochs // 2, 1)
         ),
     )
-    eng = CdcEngine(spark, args.warehouse, n_buckets=args.n_buckets,
-                    merge_mode=args.merge_mode)
+    def build_engine():
+        return CdcEngine(
+            spark, args.warehouse, n_buckets=args.n_buckets,
+            merge_mode=args.merge_mode, write_salt=args.write_salt,
+            day_partition=args.day_partition,
+        )
+
+    eng = build_engine()
 
     if not args.from_checkpoint:
         shutil.rmtree(args.warehouse, ignore_errors=True)
-        eng = CdcEngine(spark, args.warehouse, n_buckets=args.n_buckets,
-                        merge_mode=args.merge_mode)
+        eng = build_engine()
         eng.init_tables()
         t_gen = time.time()
         for e in range(cfg.n_epochs):
@@ -90,17 +105,33 @@ def main() -> None:
         gen_sec = time.time() - t_gen
 
     t0 = time.time()
-    metrics = eng.replay()
+    if args.streaming:
+        # Structured Streaming tail: file-source discovery + foreachBatch
+        # through the SAME LWW merge; exactly-once via the stream checkpoint
+        # + batch-id manifests (a rerun is a no-op).
+        from citibike_pipeline_spark.streaming import StreamingTail
+
+        StreamingTail(eng).run_available()
+        metrics = []
+        events = int(
+            eng.bronze.read_epochs(0, cfg.n_epochs).count()
+        ) if not args.from_checkpoint else 0
+        n_applied = cfg.n_epochs if events else 0
+    else:
+        metrics = eng.replay()
+        events = sum(m.get("events_read", 0) for m in metrics)
+        n_applied = len(metrics)
     replay_sec = time.time() - t0
-    events = sum(m.get("events_read", 0) for m in metrics)
 
     gold_counts, gold_mode = {}, None
     t_gold = time.time()
     if not args.skip_gold:
         # update_gold tracks its own consumed-epoch checkpoint, so it heals
         # any gap silver has opened (earlier --skip-gold runs, crash between
-        # replay and refresh) and no-ops when already current
-        info = update_gold(eng, full=args.full_gold)
+        # replay and refresh) and no-ops when already current. The streaming
+        # tail commits per-BATCH (not per-epoch) manifests, so its gold
+        # refresh is a full rebuild off the streamed silver.
+        info = update_gold(eng, full=args.full_gold or args.streaming)
         gold_counts, gold_mode = info["counts"], info["mode"]
     gold_sec = time.time() - t_gold
 
@@ -130,7 +161,7 @@ def main() -> None:
                 "events_applied": events,
                 "replay_sec": round(replay_sec, 2),
                 "generate_sec": round(gen_sec, 2),
-                "epochs": len(metrics),
+                "epochs": n_applied,
                 "cores": cores,
                 "parity": parity,
                 "silver_rows": int(eng.silver_view().count()),
