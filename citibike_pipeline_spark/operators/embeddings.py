@@ -488,6 +488,49 @@ FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# e07: ANN recall@k — the quality gate an approximate index ships with:
+# join the IVF query path's top-k (e05) against the exact brute-force top-k
+# (e01) per query and measure overlap. On the real corpus the label-based
+# coarse quantizer probing NPROBE of the lists recovers the exact
+# neighbors or misses a measurable few — either way the number is now a
+# hash-checked output, not a claim. The per-query grain keeps the result
+# auditable (which queries lose neighbors, not just an average).
+# --------------------------------------------------------------------------
+
+def e07_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    exact = e01_cosine_topk(spark, sf).select("query_id", "neighbor_id")
+    approx = e05_ivf_topk(spark, sf).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    per_q = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    return per_q.join(hits, "query_id", "left").select(
+        "query_id",
+        "k",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        F.round(
+            F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("k"), 6
+        ).alias("recall"),
+    )
+
+
+E07_SQL = f"""
+WITH exact AS ({E01_SQL}),
+approx AS ({E05_SQL}),
+hits AS (
+  SELECT e.query_id, COUNT(*) AS n_hits
+  FROM exact e JOIN approx a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id
+),
+per_q AS (SELECT query_id, COUNT(*) AS k FROM exact GROUP BY query_id)
+SELECT p.query_id, p.k, COALESCE(h.n_hits, 0) AS n_hits,
+       ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / p.k, 6) AS recall
+FROM per_q p LEFT JOIN hits h ON p.query_id = h.query_id
+"""
+
+
 EMBEDDINGS = {
     "e01_cosine_topk": (e01_cosine_topk, E01_SQL),
     "e02_lsh_buckets": (e02_lsh_buckets, E02_SQL),
@@ -495,4 +538,5 @@ EMBEDDINGS = {
     "e04_label_centroids": (e04_label_centroids, E04_SQL),
     "e05_ivf_topk": (e05_ivf_topk, E05_SQL),
     "e06_quantize_int8": (e06_quantize_int8, E06_SQL),
+    "e07_ann_recall": (e07_ann_recall, E07_SQL),
 }

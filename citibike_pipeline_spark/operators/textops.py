@@ -864,6 +864,84 @@ GROUP BY c.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# d12: PII scrubbing — regex redaction of emails / URLs / SSN-shaped ids,
+# the compliance pass a corpus takes before training. All JVM-side
+# regexp_replace / regexp_count (zero shuffles); patterns restricted to the
+# Java∩RE2 regex subset so the DuckDB oracle evaluates identically. The
+# synthetic corpus carries no organic PII, so deterministic PII strings are
+# PLANTED query-side in every 20th document (same pattern as d07/e03:
+# identical planting in the oracle), and the output hash-checks BOTH paths:
+# redaction counts per kind AND the md5 of the scrubbed text — including
+# the must-be-a-no-op rows for clean documents.
+# --------------------------------------------------------------------------
+
+PII_EVERY = 20
+_RE_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_RE_URL = "https?://[^ ]+"
+_RE_SSN = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+def d12_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % PII_EVERY == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com via https://ex.example/u/"),
+                F.col("doc_id").cast("string"),
+                F.lit(" ssn 123-45-6789"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    # redact URLs first (emails can appear inside URLs), then emails, then ids
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _RE_URL, "[URL]"),
+            _RE_EMAIL,
+            "[EMAIL]",
+        ),
+        _RE_SSN,
+        "[ID]",
+    )
+    return planted.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_RE_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count("text", F.lit(_RE_URL)).cast("int").alias("n_urls"),
+        F.regexp_count("text", F.lit(_RE_SSN)).cast("int").alias("n_ids"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+D12_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {PII_EVERY} = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com via https://ex.example/u/'
+                   || CAST(doc_id AS VARCHAR) || ' ssn 123-45-6789'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_RE_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_RE_URL}')) AS INT) AS n_urls,
+       CAST(len(regexp_extract_all(text, '{_RE_SSN}')) AS INT) AS n_ids,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{_RE_URL}', '[URL]', 'g'),
+               '{_RE_EMAIL}', '[EMAIL]', 'g'),
+             '{_RE_SSN}', '[ID]', 'g')) AS clean_md5
+FROM planted
+"""
+
+
 TEXTOPS = {
     "d01_exact_dedup": (d01_exact_dedup, D01_SQL),
     "d02_token_stats": (d02_token_stats, D02_SQL),
@@ -876,4 +954,5 @@ TEXTOPS = {
     "d09_sequence_packing": (d09_sequence_packing, D09_SQL),
     "d10_train_split": (d10_train_split, D10_SQL),
     "d11_contamination": (d11_contamination, D11_SQL),
+    "d12_pii_scrub": (d12_pii_scrub, D12_SQL),
 }

@@ -220,3 +220,71 @@ def test_d11_contamination_two_overlap_levels(spark):
     # near-identical plants share strictly more grams than half-overlap
     # plants (sf0.01 medians: 47 vs 27)
     assert near.n_shared_grams.median() > half.n_shared_grams.median()
+
+
+def test_e07_recall_bounds_and_exhaustive_probe(spark):
+    """Recall@k is measured, not assumed: values in [0,1] at the default
+    nprobe, and probing EVERY inverted list recovers the exact top-k
+    perfectly (the plumbing is exact when exhaustive — losses come only
+    from the coarse quantizer's probe selection)."""
+    from citibike_pipeline_spark.operators.embeddings import (
+        e01_cosine_topk,
+        e05_ivf_topk,
+        e07_ann_recall,
+    )
+    from citibike_pipeline_spark.operators.io import T
+
+    sf = "/root/testdata/sf0.01"
+    pdf = e07_ann_recall(spark, sf).toPandas()
+    assert pdf.recall.between(0.0, 1.0).all()
+    assert pdf.n_hits.sum() > 0
+
+    n_lists = T(spark, sf, "embeddings").select("label").distinct().count()
+    exact = {(r.query_id, r.neighbor_id) for r in e01_cosine_topk(spark, sf).collect()}
+    exhaustive = {
+        (r.query_id, r.neighbor_id)
+        for r in e05_ivf_topk(spark, sf, nprobe=n_lists).collect()
+    }
+    assert exhaustive == exact
+
+
+def test_d12_scrub_removes_all_pii(spark):
+    """Every planted document registers one redaction per kind, clean
+    documents are byte-identical no-ops, and NO scrubbed text still matches
+    any PII pattern (the property a compliance pass actually owes you)."""
+    import hashlib
+    import re
+
+    from citibike_pipeline_spark.operators.io import T
+    from citibike_pipeline_spark.operators.textops import (
+        PII_EVERY,
+        _RE_EMAIL,
+        _RE_SSN,
+        _RE_URL,
+        d12_pii_scrub,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    pdf = d12_pii_scrub(spark, sf).toPandas()
+    planted = pdf[pdf.doc_id % PII_EVERY == 0]
+    clean = pdf[pdf.doc_id % PII_EVERY != 0]
+    assert len(planted) >= 20
+    assert (planted[["n_emails", "n_urls", "n_ids"]] >= 1).all().all()
+    assert (clean[["n_emails", "n_urls", "n_ids"]] == 0).all().all()
+    # clean docs: scrub is a no-op — md5 equals the raw text's
+    raw = {r.doc_id: r.text for r in T(spark, sf, "documents").limit(100).collect()}
+    for doc_id, text in raw.items():
+        if doc_id % PII_EVERY != 0:
+            row = pdf[pdf.doc_id == doc_id]
+            assert row.clean_md5.iloc[0] == hashlib.md5(text.encode()).hexdigest()
+    # end-to-end: re-plant + scrub locally, confirm no pattern survives
+    for doc_id, text in list(raw.items())[:40]:
+        if doc_id % PII_EVERY == 0:
+            t = (f"{text} contact user{doc_id}@example.com via "
+                 f"https://ex.example/u/{doc_id} ssn 123-45-6789")
+            t = re.sub(_RE_URL, "[URL]", t)
+            t = re.sub(_RE_EMAIL, "[EMAIL]", t)
+            t = re.sub(_RE_SSN, "[ID]", t)
+            assert not re.search(_RE_EMAIL, t) and not re.search(_RE_SSN, t)
+            row = pdf[pdf.doc_id == doc_id]
+            assert row.clean_md5.iloc[0] == hashlib.md5(t.encode()).hexdigest()
