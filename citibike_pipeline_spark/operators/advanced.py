@@ -715,8 +715,14 @@ def q33_betweenness(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(part.withColumnRenamed("node", "b")), "b")
         .distinct()
     )
-    # undirected walk space over the bounded graph (≤ 2·K² edge rows)
-    edges = e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # undirected walk space over the bounded graph (≤ 2·K² edge rows).
+    # PERSISTED: the path-counting joins below reference this frame six
+    # times (e1/e2/e3 aliases, d1, and both anti-join probes) and the union
+    # references e0 twice — uncached, every reference re-runs the lineitem
+    # reduction (the q31/q28 compounding trap).
+    edges = scoped_persist(
+        e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    )
 
     d1 = edges.filter(F.col("a") < F.col("b")).select(
         F.col("a").alias("s"), F.col("b").alias("t")

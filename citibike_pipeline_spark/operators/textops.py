@@ -435,9 +435,12 @@ def _planted_overlap_docs(docs: DataFrame) -> DataFrame:
 
 def d07_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     docs = _planted_overlap_docs(T(spark, sf, "documents"))
-    sh = docs.select(
+    # PERSISTED: the intersection self-join probes this exploded table
+    # twice and `sizes` a third time — uncached, the split+shingle pipeline
+    # over the planted corpus executes three times (the q31/q28 trap).
+    sh = scoped_persist(docs.select(
         "doc_id", "source", F.explode(F.array_distinct(_word_bigrams())).alias("shingle")
-    )
+    ))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
