@@ -60,6 +60,12 @@ from . import fs
 BUCKET_COL = "_bucket"
 
 
+class CommitConflict(Exception):
+    """A concurrent writer advanced the table between snapshot resolution
+    and commit; the losing commit is rejected instead of silently clobbering
+    (optimistic concurrency, see LakeTable._commit)."""
+
+
 def _writer_view(df: DataFrame) -> DataFrame:
     """Re-bind ``df``'s logical plan to a dedicated WRITER SESSION whose
     SQLConf has AQE disabled, leaving the caller's session untouched.
@@ -280,9 +286,37 @@ class LakeTable:
         os.replace is atomic on POSIX — the table is never observable in a
         half-committed state (the all-or-nothing the reference *documents but
         does not have* across its DELETE+INSERT pair, staging.py:55-71).
+
+        Optimistic concurrency (Iceberg-style): the commit is valid only if
+        the table is still at this snapshot's PARENT — a racing writer that
+        advanced the pointer first turns this commit into a detected
+        ``CommitConflict`` (retry from a fresh snapshot) instead of a silent
+        lost update. The local adapter checks-then-swaps, leaving a narrow
+        TOCTOU window a true CAS closes — exactly the conditional-PUT
+        primitive ``lake.fs`` documents for object-store deployments; the
+        CDC engine itself is single-writer (replay/tail sequential), so the
+        check is a guard rail for out-of-band writers, not a hot path.
         """
+        def check_parent():
+            if snap.parent_id is None or not fs.exists(self._version_file):
+                return
+            cur = fs.read_text(self._version_file).strip()
+            expect = f"v{snap.parent_id:09d}"
+            if cur != expect:
+                raise CommitConflict(
+                    f"{self.path}: table advanced to {cur} while this commit "
+                    f"was built from {expect}; reload and retry"
+                )
+
+        # BEFORE the manifest write: racing writers build the same child id,
+        # so a late loser would otherwise clobber the winner's committed
+        # manifest file (found by test_concurrent_writer_conflict_detected).
+        # An ORPHAN manifest from this writer's own crashed attempt (pointer
+        # still at the parent) is legitimately overwritten on retry.
+        check_parent()
         snap_path = os.path.join(self._snap_dir, f"v{snap.snapshot_id:09d}.json")
         fs.write_text(snap_path, snap.to_json())
+        check_parent()  # narrows the swap race; true CAS = fs conditional-PUT
         fs.replace_text(self._version_file, f"v{snap.snapshot_id:09d}")
 
     # -- read ----------------------------------------------------------------

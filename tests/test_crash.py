@@ -157,3 +157,24 @@ def test_old_snapshot_readable_by_id_until_expiry(spark, cat):
     merge_into(t, mk(spark, [("a", "v2", "U", 2)]))
     assert {r.v for r in t.read(snapshot_id=s1).collect()} == {"v1"}
     assert {r.v for r in t.read().collect()} == {"v2"}
+
+
+def test_concurrent_writer_conflict_detected(spark, cat):
+    """Optimistic concurrency: a commit built from a stale snapshot must be
+    REJECTED when another writer advanced the table first — never a silent
+    lost update (the failure mode of an unconditional pointer swap)."""
+    from citibike_pipeline_spark.lake.table import CommitConflict
+
+    t = cat.create_table("ns.occ", SCHEMA, key_cols=["k"], n_buckets=4)
+    t.append(mk(spark, [("a", "v1", "I", 1)]))
+
+    stale = t.current_snapshot()               # writer B resolves here
+    merge_into(t, mk(spark, [("a", "v2", "U", 2)]))  # writer A wins the race
+
+    with pytest.raises(CommitConflict, match="advanced"):
+        t._commit(stale.child(files=stale.files, summary={"operation": "b"}))
+
+    # the surviving lineage is writer A's; retrying from a FRESH snapshot works
+    assert {r.v for r in t.read().collect()} == {"v2"}
+    merge_into(t, mk(spark, [("a", "v3", "U", 3)]))
+    assert {r.v for r in t.read().collect()} == {"v3"}
