@@ -770,6 +770,31 @@ class CdcEngine:
             out.append(fs.read_json(os.path.join(self._manifest_dir, fn)))
         return out
 
+    def metrics_df(self) -> DataFrame:
+        """Per-apply observability as a queryable TABLE (north-star "metrics
+        tables" companion to lineage_df): the stable numeric core of every
+        recorded apply — epoch, volume, bucket pruning, snapshot, wall.
+        Variable payloads (hot-conv lists, autocompact details) stay in the
+        raw ``metrics()`` JSON."""
+        schema_ddl = (
+            "epoch int, events_read long, partitions int, buckets_touched int, "
+            "snapshot_id long, wall_sec double, events_per_sec double, "
+            "skipped boolean"
+        )
+        cols = [f.split(" ")[0] for f in schema_ddl.split(", ")]
+
+        def field(m: dict, c: str):
+            if c == "epoch" and "epoch" not in m and m.get("epochs"):
+                return int(max(m["epochs"]))  # catchup entry: epoch span's head
+            return m.get(c)
+
+        rows = [tuple(field(m, c) for c in cols) for m in self.metrics()]
+        if rows:
+            return self.spark.createDataFrame(rows, schema_ddl)
+        from ..lake.table import empty_df
+
+        return empty_df(self.spark, StructType.fromDDL(schema_ddl))
+
     def lineage_df(self) -> DataFrame:
         rows = self.lineage()
         schema = (

@@ -256,3 +256,30 @@ def test_spec_mismatch_falls_back_to_collect(spark, tmp_path):
     assert m["buckets_precomputed"] is False
     eng.replay()
     assert silver_pdf(eng).equals(oracle_pdf())
+
+
+def test_metrics_and_lineage_tables(spark, tmp_path):
+    """North-star observability surface: per-partition lineage and per-apply
+    metrics are queryable DataFrames covering every apply, including
+    catch-up entries."""
+    from citibike_pipeline_spark.cdc import CdcEngine
+    from citibike_pipeline_spark.cdc.generator import GenConfig, generate_epoch
+
+    cfg = GenConfig(n_convs=20, n_epochs=3, events_per_epoch=500, seed=5,
+                    evolution_epoch=1)
+    eng = CdcEngine(spark, str(tmp_path / "wh_obs"), n_buckets=4)
+    eng.init_tables()
+    for e in range(cfg.n_epochs):
+        eng.ingest_epoch_pandas(generate_epoch(cfg, e), e)
+    eng.replay()  # one catch-up apply over all three epochs
+
+    m = eng.metrics_df().toPandas()
+    assert len(m) == 1 and int(m.epoch.iloc[0]) == cfg.n_epochs - 1
+    assert int(m.events_read.iloc[0]) > 0 and not m.skipped.iloc[0]
+    assert (m.events_per_sec > 0).all()
+
+    lin = eng.lineage_df().toPandas()
+    # one manifest per (epoch, source partition)
+    assert set(lin.checkpoint_epoch) == set(range(cfg.n_epochs))
+    assert (lin.groupby("checkpoint_epoch").partition_id.nunique() > 0).all()
+    assert (lin.n_events > 0).all() and (lin.min_lsn <= lin.max_lsn).all()
