@@ -945,6 +945,131 @@ FROM planted
 """
 
 
+# --------------------------------------------------------------------------
+# d13: training-corpus materialization — the composition the whole text
+# surface exists for: exact-dedup to one canonical doc per content hash
+# (min doc_id wins), gate on the d02 quality score and a minimum length,
+# stamp the d10 deterministic split, and emit the per-doc token count a
+# packer (d09) consumes next. One aggregate + one equi-join + narrow
+# projections; the same pipeline at 100 TB shuffles once on the content
+# hash and once on nothing else.
+# --------------------------------------------------------------------------
+
+CORPUS_MIN_TOKENS = 10
+CORPUS_MIN_QUALITY = 0.45
+# Planted degenerate cohorts (the d07/e03 pattern — the organic gate corpus
+# has no exact dups and nothing below the quality bar, so without planting
+# none of the three drop paths would provably fire at sf0.01): exact
+# duplicate copies of every 30th doc (dedup keeps the ORIGINAL, min doc_id),
+# a 12-stopword doc per 40th (passes length, fails QUALITY at 0.075), and a
+# 6-token doc per 40th+11 (fails LENGTH). Identical planting in the oracle;
+# the output hash proves both engines dropped exactly the planted rows.
+CORPUS_DUP_EVERY = 30
+CORPUS_JUNK_EVERY = 40
+CORPUS_ID_DUP = 3_000_000
+CORPUS_ID_LOWQ = 4_000_000
+CORPUS_ID_SHORT = 5_000_000
+_LOWQ_TEXT = "the the the a a a of of to to in in"       # 12 pure stopwords
+_SHORT_TEXT = "the a of and to in"                        # 6 tokens
+
+
+def _corpus_with_planted(docs: DataFrame) -> DataFrame:
+    dup = docs.filter(F.col("doc_id") % CORPUS_DUP_EVERY == 0).select(
+        (F.col("doc_id") + CORPUS_ID_DUP).alias("doc_id"),
+        "source", "lang", "text",
+    )
+    lowq = docs.filter(F.col("doc_id") % CORPUS_JUNK_EVERY == 0).select(
+        (F.col("doc_id") + CORPUS_ID_LOWQ).alias("doc_id"),
+        "source", "lang", F.lit(_LOWQ_TEXT).alias("text"),
+    )
+    short = docs.filter(F.col("doc_id") % CORPUS_JUNK_EVERY == 11).select(
+        (F.col("doc_id") + CORPUS_ID_SHORT).alias("doc_id"),
+        "source", "lang", F.lit(_SHORT_TEXT).alias("text"),
+    )
+    return (
+        docs.select("doc_id", "source", "lang", "text")
+        .unionByName(dup)
+        .unionByName(lowq)
+        .unionByName(short)
+    )
+
+
+def d13_training_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _corpus_with_planted(T(spark, sf, "documents"))
+    w = _words()
+    n_tokens = F.size(w)
+    n_stop = F.size(F.filter(w, lambda t: t.isin(*STOPWORDS)))
+    quality = F.round(
+        F.least(n_tokens.cast("double") / 80.0, F.lit(1.0)) * 0.5
+        + (F.lit(1.0) - n_stop.cast("double") / n_tokens) * 0.5,
+        6,
+    )  # identical to d02's score
+    base = docs.select(
+        "doc_id", "source", "lang",
+        F.md5("text").alias("content_md5"),
+        n_tokens.alias("n_tokens"),
+        quality.alias("quality_score"),
+    )
+    canon = base.groupBy("content_md5").agg(F.min("doc_id").alias("doc_id"))
+    h2 = F.substring(
+        F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.lit(SPLIT_SEED))),
+        1,
+        2,
+    )
+    return (
+        base.join(canon, ["content_md5", "doc_id"])  # canonical docs only
+        .filter(
+            (F.col("n_tokens") >= CORPUS_MIN_TOKENS)
+            & (F.col("quality_score") >= CORPUS_MIN_QUALITY)
+        )
+        .select(
+            "doc_id", "source", "lang", "n_tokens", "quality_score",
+            F.when(h2 < SPLIT_TRAIN_BOUND, "train")
+            .when(h2 < SPLIT_VAL_BOUND, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
+D13_SQL = f"""
+WITH aug AS (
+  SELECT doc_id, source, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + {CORPUS_ID_DUP}, source, lang, text FROM documents
+  WHERE doc_id % {CORPUS_DUP_EVERY} = 0
+  UNION ALL
+  SELECT doc_id + {CORPUS_ID_LOWQ}, source, lang, '{_LOWQ_TEXT}' FROM documents
+  WHERE doc_id % {CORPUS_JUNK_EVERY} = 0
+  UNION ALL
+  SELECT doc_id + {CORPUS_ID_SHORT}, source, lang, '{_SHORT_TEXT}' FROM documents
+  WHERE doc_id % {CORPUS_JUNK_EVERY} = 11
+),
+base AS (
+  SELECT doc_id, source, lang, md5(text) AS content_md5,
+         len(string_split(text, ' ')) AS n_tokens,
+         ROUND(LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 80.0, 1.0) * 0.5
+               + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+                   / len(string_split(text, ' '))) * 0.5, 6) AS quality_score
+  FROM aug
+),
+canon AS (SELECT content_md5, MIN(doc_id) AS doc_id FROM base GROUP BY content_md5)
+SELECT b.doc_id, b.source, b.lang, b.n_tokens, b.quality_score,
+       CASE
+         WHEN substring(md5(CAST(b.doc_id AS VARCHAR) || '|' || '{SPLIT_SEED}'), 1, 2)
+              < '{SPLIT_TRAIN_BOUND}' THEN 'train'
+         WHEN substring(md5(CAST(b.doc_id AS VARCHAR) || '|' || '{SPLIT_SEED}'), 1, 2)
+              < '{SPLIT_VAL_BOUND}' THEN 'val'
+         ELSE 'test'
+       END AS split
+FROM base b JOIN canon c
+  ON b.content_md5 = c.content_md5 AND b.doc_id = c.doc_id
+WHERE b.n_tokens >= {CORPUS_MIN_TOKENS}
+  AND b.quality_score >= {CORPUS_MIN_QUALITY}
+"""
+
+
 TEXTOPS = {
     "d01_exact_dedup": (d01_exact_dedup, D01_SQL),
     "d02_token_stats": (d02_token_stats, D02_SQL),
@@ -958,4 +1083,5 @@ TEXTOPS = {
     "d10_train_split": (d10_train_split, D10_SQL),
     "d11_contamination": (d11_contamination, D11_SQL),
     "d12_pii_scrub": (d12_pii_scrub, D12_SQL),
+    "d13_training_corpus": (d13_training_corpus, D13_SQL),
 }

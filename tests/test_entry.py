@@ -288,3 +288,27 @@ def test_d12_scrub_removes_all_pii(spark):
             assert not re.search(_RE_EMAIL, t) and not re.search(_RE_SSN, t)
             row = pdf[pdf.doc_id == doc_id]
             assert row.clean_md5.iloc[0] == hashlib.md5(t.encode()).hexdigest()
+
+
+def test_d13_corpus_gates_each_fire(spark):
+    """Every drop path of the corpus materialization provably fires: planted
+    exact-duplicate copies lose to their originals (min doc_id), the
+    12-stopword plants fail the QUALITY gate, the 6-token plants fail the
+    LENGTH gate, and the surviving corpus keeps only canonical clean docs
+    with a split stamped on every row."""
+    from citibike_pipeline_spark.operators.textops import (
+        CORPUS_ID_DUP,
+        CORPUS_ID_LOWQ,
+        CORPUS_ID_SHORT,
+        d13_training_corpus,
+    )
+
+    pdf = d13_training_corpus(spark, "/root/testdata/sf0.01").toPandas()
+    # no planted row survives
+    assert (pdf.doc_id < CORPUS_ID_DUP).all()
+    # dedup kept the ORIGINALS that the dup cohort copied
+    assert (pdf.doc_id % 30 == 0).any()
+    assert set(pdf.split) <= {"train", "val", "test"}
+    assert (pdf.n_tokens >= 10).all()
+    assert (pdf.quality_score >= 0.45).all()
+    assert pdf.doc_id.is_unique
