@@ -30,9 +30,30 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["q04_lww_latest_event"].fn(spark, "/root/testdata/sf0.001")
 
 
+def _released(fn: Callable[[SparkSession, str], DataFrame]):
+    """Release the PREVIOUS query's scoped caches/scratch before building
+    the next plan (operators/resources.py lifecycle): the driver's gate runs
+    every registry entry in one long-lived session, collecting and hashing
+    each result BEFORE invoking the next, so releasing on entry frees the
+    predecessor's resources at exactly the right time and the session never
+    accumulates cached blocks or scratch files. The sequential-consumption
+    contract matters for the scratch-backed result (d08, parquet barrier
+    files); for plain caches an early release merely recomputes."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from citibike_pipeline_spark.operators.resources import (
+            release_query_resources,
+        )
+
+        release_query_resources(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + training-data ops."""
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: _released(spec.fn) for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
