@@ -226,3 +226,82 @@ def test_lww_property_random_event_logs(spark):
         assert got == want
 
     check()
+
+
+def test_packing_window_matches_sequential_reference(spark):
+    """Property: the d09 window formula (floor(prev-cumsum / budget)) equals
+    a sequential per-group packing walk, for random token-count corpora
+    including empty docs, giant docs, and single-doc groups."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    BUDGET = 50
+
+    doc = st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 120))
+
+    @given(st.lists(doc, min_size=1, max_size=40))
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def run(docs):
+        rows = [(i, src, n) for i, (src, n) in enumerate(docs)]
+        # sequential reference: per source in doc_id order
+        want = {}
+        offs = {}
+        for i, src, n in rows:
+            want[i] = offs.get(src, 0) // BUDGET
+            offs[src] = offs.get(src, 0) + n
+        df = spark.createDataFrame(rows, "doc_id int, source string, n_tokens int")
+        w = (
+            Window.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        got = {
+            r.doc_id: r.shard
+            for r in df.select(
+                "doc_id",
+                F.floor(prev / F.lit(float(BUDGET))).cast("int").alias("shard"),
+            ).collect()
+        }
+        assert got == want
+
+    run()
+
+
+def test_quantization_roundtrip_property(spark):
+    """Property: int8 symmetric quantization stays in range and
+    reconstructs within one step for adversarial vectors — zeros,
+    negatives, tiny magnitudes, mixed signs."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import math
+
+    val = st.floats(
+        min_value=-10.0, max_value=10.0, allow_nan=False, allow_infinity=False,
+        width=32,
+    )
+
+    @given(st.lists(val, min_size=1, max_size=16))
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def run(vec):
+        scale = max(abs(float(v)) for v in vec)
+        for v in vec:
+            q = math.floor(float(v) / scale * 127) if scale > 0 else 0
+            assert -128 <= q <= 127
+            if scale > 0:
+                recon = q * scale / 127.0
+                assert abs(recon - float(v)) <= scale / 127.0 + 1e-12
+
+    run()
