@@ -531,6 +531,83 @@ FROM per_q p LEFT JOIN hits h ON p.query_id = h.query_id
 """
 
 
+# --------------------------------------------------------------------------
+# e08: embedding outlier flagging — cosine of each vector to ITS OWN label
+# centroid; vectors anti-correlated with their cluster (csim < 0) are
+# flagged, the embedding-space analog of the d02 quality gate (drop or
+# re-embed suspicious rows before indexing/training). One broadcast join
+# against the tiny centroid table + a narrow scoring projection — at
+# corpus scale this is a single scan. On the sf0.01 corpus ~5-8% of
+# vectors flag (measured csim range -0.30..0.47) — real signal, not a
+# constant-false column.
+# --------------------------------------------------------------------------
+
+OUTLIER_CSIM = 0.0
+
+
+def e08_centroid_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    emb = T(spark, sf, "embeddings")
+    # centroid components quantized to 6 decimals BEFORE the cosine: the
+    # raw decimal->double conversion differs between engines in the last
+    # ulp (observed at the 10th decimal), which can flip the 6th decimal of
+    # the quotient; round-6 components are the granularity e04's gate hash
+    # proves cross-engine identical, and with bit-identical inputs and the
+    # same fold order the cosine itself is then exact.
+    cents = _centroids(emb).select(
+        "label", F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid")
+    )
+    csim = F.round(
+        _cosine(
+            F.transform("embedding", lambda x: x.cast("double")), F.col("centroid")
+        ),
+        6,
+    )
+    return emb.join(F.broadcast(cents), "label").select(
+        "vec_id",
+        "label",
+        csim.alias("csim"),
+        (csim < OUTLIER_CSIM).alias("is_outlier"),
+    )
+
+
+# list_reduce (sequential left fold) — NOT list_sum — so the summation
+# ORDER matches Spark's F.aggregate exactly; list_sum's ordering differed
+# in the last ulp on one vector, flipping the 6th rounded decimal.
+def _sql_seq_sum(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {DIMS}), i -> {expr})), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+_SQL_COS_EC = (
+    f"{_sql_seq_sum('CAST(e.embedding[i] AS DOUBLE) * c.centroid[i]')} / "
+    f"(sqrt({_sql_seq_sum('CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)')}) "
+    f"* sqrt({_sql_seq_sum('c.centroid[i] * c.centroid[i]')}))"
+)
+
+E08_SQL = f"""
+WITH dims AS (
+  SELECT label, i - 1 AS dim, embedding[i] AS v
+  FROM embeddings, generate_series(1, {DIMS}) t(i)
+),
+cent AS (
+  SELECT label, dim,
+         CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+  FROM dims GROUP BY label, dim
+),
+cents AS (
+  SELECT label, list(ROUND(c, 6) ORDER BY dim) AS centroid
+  FROM cent GROUP BY label
+)
+SELECT e.vec_id, e.label,
+       ROUND({_SQL_COS_EC}, 6) AS csim,
+       ROUND({_SQL_COS_EC}, 6) < {OUTLIER_CSIM} AS is_outlier
+FROM embeddings e JOIN cents c ON e.label = c.label
+"""
+
+
 EMBEDDINGS = {
     "e01_cosine_topk": (e01_cosine_topk, E01_SQL),
     "e02_lsh_buckets": (e02_lsh_buckets, E02_SQL),
@@ -539,4 +616,5 @@ EMBEDDINGS = {
     "e05_ivf_topk": (e05_ivf_topk, E05_SQL),
     "e06_quantize_int8": (e06_quantize_int8, E06_SQL),
     "e07_ann_recall": (e07_ann_recall, E07_SQL),
+    "e08_centroid_outliers": (e08_centroid_outliers, E08_SQL),
 }

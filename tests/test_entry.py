@@ -312,3 +312,15 @@ def test_d13_corpus_gates_each_fire(spark):
     assert (pdf.n_tokens >= 10).all()
     assert (pdf.quality_score >= 0.45).all()
     assert pdf.doc_id.is_unique
+
+
+def test_e08_outliers_carry_signal(spark):
+    """The outlier flag must discriminate on the real corpus: a nonzero
+    minority flags, the rest don't, and flagged vectors have strictly lower
+    centroid-cosine than the clean ones."""
+    from citibike_pipeline_spark.operators.embeddings import e08_centroid_outliers
+
+    pdf = e08_centroid_outliers(spark, "/root/testdata/sf0.01").toPandas()
+    flagged = pdf[pdf.is_outlier]
+    assert 0 < len(flagged) < 0.2 * len(pdf)
+    assert flagged.csim.max() < pdf[~pdf.is_outlier].csim.min()
