@@ -1070,6 +1070,52 @@ WHERE b.n_tokens >= {CORPUS_MIN_TOKENS}
 """
 
 
+# --------------------------------------------------------------------------
+# d14: language-balanced sampling — cap each language at N documents,
+# choosing the survivors by a SEEDED HASH RANK so the sample is
+# reproducible (re-runs, late-arriving data outside the cap, and
+# re-sharding never change who's in) and unbiased by ingestion order. The
+# corpus is en-heavy (218/500 en at the gate corpus vs 64 fr), so the cap
+# genuinely drops rows. One window per language — bounded sort per group,
+# the same shape as d09; at 100 TB you'd pre-aggregate counts and only
+# rank languages over the cap.
+# --------------------------------------------------------------------------
+
+LANG_CAP = 80
+LANG_SAMPLE_SEED = "lang-balance-1"
+
+
+def d14_lang_balanced_sample(
+    spark: SparkSession, sf: str, cap: int = LANG_CAP
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = T(spark, sf, "documents")
+    h = F.md5(
+        F.concat_ws("|", F.col("doc_id").cast("string"), F.lit(LANG_SAMPLE_SEED))
+    )
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        docs.select("doc_id", "lang", "source", h.alias("h"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= cap)
+        .select("doc_id", "lang", "source", "sample_rank")
+    )
+
+
+D14_SQL = f"""
+SELECT doc_id, lang, source, sample_rank FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || '{LANG_SAMPLE_SEED}'),
+                    doc_id
+         ) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= {LANG_CAP}
+"""
+
+
 TEXTOPS = {
     "d01_exact_dedup": (d01_exact_dedup, D01_SQL),
     "d02_token_stats": (d02_token_stats, D02_SQL),
@@ -1084,4 +1130,5 @@ TEXTOPS = {
     "d11_contamination": (d11_contamination, D11_SQL),
     "d12_pii_scrub": (d12_pii_scrub, D12_SQL),
     "d13_training_corpus": (d13_training_corpus, D13_SQL),
+    "d14_lang_balanced_sample": (d14_lang_balanced_sample, D14_SQL),
 }

@@ -324,3 +324,26 @@ def test_e08_outliers_carry_signal(spark):
     flagged = pdf[pdf.is_outlier]
     assert 0 < len(flagged) < 0.2 * len(pdf)
     assert flagged.csim.max() < pdf[~pdf.is_outlier].csim.min()
+
+
+def test_d14_balancing_caps_and_determinism(spark):
+    """Over-represented languages are capped, under-represented ones kept
+    whole, and the hash-ranked selection is identical across runs."""
+    from citibike_pipeline_spark.operators.io import T
+    from citibike_pipeline_spark.operators.textops import (
+        LANG_CAP,
+        d14_lang_balanced_sample,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    pdf = d14_lang_balanced_sample(spark, sf).toPandas()
+    raw = (
+        T(spark, sf, "documents").groupBy("lang").count().toPandas()
+        .set_index("lang")["count"]
+    )
+    got = pdf.lang.value_counts()
+    for lang, n_raw in raw.items():
+        assert got[lang] == min(n_raw, LANG_CAP), lang
+    assert (raw > LANG_CAP).any(), "corpus must have an over-cap language"
+    pdf2 = d14_lang_balanced_sample(spark, sf).toPandas()
+    assert sorted(pdf.doc_id) == sorted(pdf2.doc_id)
