@@ -30,7 +30,7 @@ from citibike_pipeline_spark.cdc.generator import GenConfig, generate_epoch
 from citibike_pipeline_spark.session import get_spark
 
 
-def land_and_replay(spark, wh: str, cfg: GenConfig, salt: int, timed: bool):
+def land_and_replay(spark, wh: str, cfg: GenConfig, salt: int):
     shutil.rmtree(wh, ignore_errors=True)
     eng = CdcEngine(spark, wh, n_buckets=32, write_salt=salt)
     eng.init_tables()
@@ -60,14 +60,14 @@ def main() -> None:
     warm_cfg = GenConfig(n_convs=100, n_epochs=2, events_per_epoch=5000,
                          evolution_epoch=1)
     for s in (1, 8):
-        land_and_replay(spark, "/tmp/skew_warm", warm_cfg, s, timed=False)
+        land_and_replay(spark, "/tmp/skew_warm", warm_cfg, s)
     shutil.rmtree("/tmp/skew_warm", ignore_errors=True)
 
     results = {}
     states = {}
     for salt in (1, 8):
         eng, wall, events, state = land_and_replay(
-            spark, f"/tmp/skew_wh_{salt}", cfg, salt, timed=True
+            spark, f"/tmp/skew_wh_{salt}", cfg, salt
         )
         # file spread of the hot bucket in the final snapshot
         snap = eng.silver.current_snapshot()

@@ -31,21 +31,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _released(fn: Callable[[SparkSession, str], DataFrame]):
-    """Release the PREVIOUS query's scoped caches/scratch before building
-    the next plan (operators/resources.py lifecycle): the driver's gate runs
-    every registry entry in one long-lived session, collecting and hashing
-    each result BEFORE invoking the next, so releasing on entry frees the
-    predecessor's resources at exactly the right time and the session never
-    accumulates cached blocks or scratch files. The sequential-consumption
-    contract matters for the scratch-backed result (d08, parquet barrier
-    files); for plain caches an early release merely recomputes."""
+    """Release the PREVIOUS query's scoped CACHES before building the next
+    plan (operators/resources.py lifecycle): the driver's gate runs every
+    registry entry in one long-lived session without calling the release
+    hook, so cached blocks would otherwise accumulate across all entries.
+    Cache release is unconditionally safe — a plan still referencing the
+    data recomputes instead of failing — so this imposes NO consumption
+    ordering on the caller. Scratch dirs (which BACK returned DataFrames,
+    e.g. d08's barrier files) are deliberately NOT freed here; they are
+    bounded per call and reclaimed by any harness that calls
+    release_query_resources, or with the warehouse ``_scratch`` root."""
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from citibike_pipeline_spark.operators.resources import (
-            release_query_resources,
-        )
+        from citibike_pipeline_spark.operators.resources import release_caches
 
-        release_query_resources(spark)
+        release_caches(spark)
         return fn(spark, sf_dir)
 
     return wrapped

@@ -614,10 +614,11 @@ class CdcEngine:
             # still bound MOR read amplification: a table whose delta depth
             # already crossed the threshold (e.g. replay killed between apply
             # and compact) must not stay un-compacted across idle replay
-            # calls (r3 ADVICE). Reported as a metrics-only entry so callers
-            # summing per-epoch counters (.get with default) are unaffected.
-            auto = self.maybe_autocompact()
-            return [] if auto is None else [{"autocompact": auto}]
+            # calls (r3 ADVICE). The compaction is recorded in the metrics
+            # log by maybe_autocompact itself; the return stays [] so no
+            # caller mistakes the fold for an applied epoch.
+            self.maybe_autocompact()
+            return []
         if catchup and len(pending) > 1:
             out = [self.apply_epochs(pending)]
         else:
@@ -716,13 +717,22 @@ class CdcEngine:
             return None
         t0 = time.time()
         info = self.compact()
-        return {
+        record = {
             "autocompact": True,
             "deltas_folded": depth,
             "snapshot_id": info["snapshot_id"],
             "files_removed": info["files_removed"],
             "wall_sec": round(time.time() - t0, 2),
         }
+        # persist the compaction to the metrics log itself (keyed by the
+        # checkpoint's last applied epoch): previously the record was only
+        # attached to replay()'s RETURN value after _write_metrics had
+        # already run, so metrics()/metrics_df silently lost every
+        # compaction event (found in the round-4 self-review)
+        self._write_metrics(
+            max(int(self.checkpoint()["last_epoch"]), 0), record
+        )
+        return record
 
     def compact(self, watermark_lsn: int | None = None) -> dict:
         """Purge tombstones at-or-below the replay low-watermark + expire
@@ -788,7 +798,13 @@ class CdcEngine:
                 return int(max(m["epochs"]))  # catchup entry: epoch span's head
             return m.get(c)
 
-        rows = [tuple(field(m, c) for c in cols) for m in self.metrics()]
+        # apply records only; standalone autocompact records (variable
+        # payload, no per-epoch counters) stay in the raw metrics() JSON
+        rows = [
+            tuple(field(m, c) for c in cols)
+            for m in self.metrics()
+            if "events_read" in m
+        ]
         if rows:
             return self.spark.createDataFrame(rows, schema_ddl)
         from ..lake.table import empty_df

@@ -11,9 +11,19 @@ release them itself. This module is the contract that closes the gap:
 - the harness (bench.py, tests, any long-lived session driving the registry)
   calls ``release_query_resources(spark)`` AFTER consuming each result.
 
-A short-lived session (the driver's per-round gate) gets cleanup for free at
-session exit; a long-lived session that never calls release would otherwise
-accumulate cached blocks and scratch files — the round-3 verdict's leak.
+Registrations are keyed by SparkSession and the registry is lock-guarded, so
+a deployment running analytics and the engine in SEPARATE sessions (the
+documented AQE-scoping layout) can never release another session's live
+resources, and concurrent harness threads don't corrupt the bookkeeping.
+
+Release granularity: ``release_caches`` only unpersists — always safe, a
+plan that still references the data merely recomputes. ``release_scratch``
+DELETES barrier files, which is safe only after the owning result has been
+consumed; ``release_query_resources`` does both and is the normal harness
+call. The driver-contract wrapper (``__spark_entry__``) releases caches
+only, so even a caller that interleaves plan-building with consumption can
+never hit missing files — at the cost of scratch dirs surviving until the
+session's harness (or the OS) cleans the warehouse ``_scratch`` root.
 
 ``scratch_dir`` lives under ``spark.sql.warehouse.dir`` (the cluster-shared
 filesystem), NOT ``tempfile``/driver-local ``/tmp``: executors on a real
@@ -24,18 +34,21 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-_PERSISTED: list[DataFrame] = []
-_SCRATCH: list[str] = []
+_LOCK = threading.Lock()
+_PERSISTED: list[tuple[SparkSession, DataFrame]] = []
+_SCRATCH: list[tuple[SparkSession, str]] = []
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:
     """persist() a DataFrame and register it for harness-driven release."""
     df.persist()
-    _PERSISTED.append(df)
+    with _LOCK:
+        _PERSISTED.append((df.sparkSession, df))
     return df
 
 
@@ -65,24 +78,52 @@ def scratch_dir(spark: SparkSession, name: str) -> str:
     for release after the caller consumes the result."""
     p = os.path.join(warehouse_scratch_root(spark), f"{name}_{uuid.uuid4().hex[:8]}")
     os.makedirs(p, exist_ok=True)
-    _SCRATCH.append(p)
+    with _LOCK:
+        _SCRATCH.append((spark, p))
     return p
 
 
-def release_query_resources(spark: SparkSession | None = None) -> None:
-    """Release every resource registered since the last call. Call after the
-    consuming action (collect/write) of the registry query that ran."""
-    while _PERSISTED:
-        df = _PERSISTED.pop()
+def _drain(registry: list, spark: SparkSession | None) -> list:
+    """Pop and return entries belonging to ``spark`` (or all, if None)."""
+    with _LOCK:
+        if spark is None:
+            taken, keep = list(registry), []
+        else:
+            taken = [e for e in registry if e[0] is spark]
+            keep = [e for e in registry if e[0] is not spark]
+        registry[:] = keep
+    return taken
+
+
+def release_caches(spark: SparkSession | None = None) -> None:
+    """Unpersist registered caches for ``spark`` (all sessions if None).
+    Always safe: a still-referenced plan recomputes instead of failing."""
+    for _, df in _drain(_PERSISTED, spark):
         try:
             df.unpersist(blocking=False)
         except Exception:
             pass  # session already stopped — nothing to release
-    while _SCRATCH:
-        shutil.rmtree(_SCRATCH.pop(), ignore_errors=True)
+
+
+def release_scratch(spark: SparkSession | None = None) -> None:
+    """Delete registered scratch dirs for ``spark`` (all sessions if None).
+    Only safe after the owning results have been consumed — scratch files
+    BACK returned DataFrames (d08's barriers)."""
+    for _, p in _drain(_SCRATCH, spark):
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def release_query_resources(spark: SparkSession | None = None) -> None:
+    """Release every resource registered by ``spark`` since the last call
+    (all sessions if None). Call after the consuming action (collect/write)
+    of the registry query that ran."""
+    release_caches(spark)
+    release_scratch(spark)
 
 
 def live_resource_counts(spark: SparkSession) -> tuple[int, int]:
     """(persistent RDD count, live scratch dirs) — for harness asserts."""
     jpersist = spark.sparkContext._jsc.getPersistentRDDs().size()
-    return int(jpersist), len(_SCRATCH)
+    with _LOCK:
+        n_scratch = len(_SCRATCH)
+    return int(jpersist), n_scratch

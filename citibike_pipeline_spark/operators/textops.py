@@ -347,7 +347,13 @@ def d06_simhash(spark: SparkSession, sf: str, bits: int | None = None) -> DataFr
     # it (12 bits at sf0.1: measured 2.3 s -> 0.6 s). Here each token is
     # hashed exactly once; the per-bit +/-1 sums combine map-side before
     # the one shuffle on doc_id.
-    hashes = docs.select("doc_id", F.explode(_words()).alias("t")).select(
+    # explode_outer, NOT explode: a doc whose word array is null/empty must
+    # still land in bucket 0 (all bit sums null -> every when() false ->
+    # simhash 0 — the per-doc-fold semantics the static oracle computes);
+    # plain explode would silently DROP such docs from the bucket counts
+    # (found in the round-4 self-review; the gate corpus has no empty
+    # texts, so the hash gate could not catch it).
+    hashes = docs.select("doc_id", F.explode_outer(_words()).alias("t")).select(
         "doc_id", F.md5("t").alias("h")
     )
     bit_cols = [

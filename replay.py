@@ -104,24 +104,32 @@ def main() -> None:
                 eng.ingest_epoch_pandas(generate_epoch(cfg, e), e)
         gen_sec = time.time() - t_gen
 
-    t0 = time.time()
     if args.streaming:
         # Structured Streaming tail: file-source discovery + foreachBatch
         # through the SAME LWW merge; exactly-once via the stream checkpoint
-        # + batch-id manifests (a rerun is a no-op).
+        # + batch-id manifests (a rerun is a no-op). The event count (the
+        # whole landed backlog on a fresh run; previously-applied batches
+        # re-deliver as no-ops on resume, so a resumed run reports 0) is
+        # measured BEFORE the timer so the counting scan never pollutes the
+        # headline events/sec.
         from citibike_pipeline_spark.streaming import StreamingTail
 
-        StreamingTail(eng).run_available()
         metrics = []
-        events = int(
-            eng.bronze.read_epochs(0, cfg.n_epochs).count()
-        ) if not args.from_checkpoint else 0
+        events = (
+            0
+            if args.from_checkpoint
+            else int(eng.bronze.read_epochs(0, cfg.n_epochs).count())
+        )
         n_applied = cfg.n_epochs if events else 0
+        t0 = time.time()
+        StreamingTail(eng).run_available()
+        replay_sec = time.time() - t0
     else:
+        t0 = time.time()
         metrics = eng.replay()
+        replay_sec = time.time() - t0
         events = sum(m.get("events_read", 0) for m in metrics)
         n_applied = len(metrics)
-    replay_sec = time.time() - t0
 
     gold_counts, gold_mode = {}, None
     t_gold = time.time()
