@@ -178,3 +178,25 @@ def test_concurrent_writer_conflict_detected(spark, cat):
     assert {r.v for r in t.read().collect()} == {"v2"}
     merge_into(t, mk(spark, [("a", "v3", "U", 3)]))
     assert {r.v for r in t.read().collect()} == {"v3"}
+
+
+def test_creation_commit_onto_existing_table_conflicts(spark, cat):
+    """A parentless (creation) commit racing an existing table must raise
+    CommitConflict rather than resetting the pointer to an empty v0 — the
+    TOCTOU hole two create_table callers would otherwise fall through."""
+    from citibike_pipeline_spark.lake.table import CommitConflict, LakeTable, Snapshot
+
+    t = cat.create_table("ns.occ2", SCHEMA, key_cols=["k"], n_buckets=4)
+    t.append(mk(spark, [("a", "v1", "I", 1)]))
+
+    # a second writer that lost the create race tries to commit snapshot 0
+    stale0 = Snapshot(
+        snapshot_id=0,
+        schema_json=t.current_snapshot().schema_json,
+        key_cols=["k"],
+        n_buckets=4,
+    )
+    with pytest.raises(CommitConflict, match="already exists"):
+        t._commit(stale0)
+    # the real lineage survives untouched
+    assert _rows(t) == {("a", "v1")}

@@ -347,3 +347,33 @@ def test_d14_balancing_caps_and_determinism(spark):
     assert (raw > LANG_CAP).any(), "corpus must have an over-cap language"
     pdf2 = d14_lang_balanced_sample(spark, sf).toPandas()
     assert sorted(pdf.doc_id) == sorted(pdf2.doc_id)
+
+
+def test_d06_keeps_empty_and_null_text_docs(spark, tmp_path):
+    """Docs whose word array is null or empty must land in bucket 0, not
+    silently vanish from the bucket counts (explode vs explode_outer)."""
+    import pandas as pd
+
+    from citibike_pipeline_spark.operators.textops import d06_simhash
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["hello world text here", None, "", "more words in this doc"],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [21, 0, 0, 22],
+        }
+    )
+    d = str(tmp_path / "sfmini")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    pdf.to_parquet(os.path.join(d, "documents.parquet"))
+    out = d06_simhash(spark, d).toPandas()
+    assert int(out.n_docs.sum()) == 4, "every doc must be counted"
+    # the NULL-text doc lands in bucket 0; the empty-string doc hashes via
+    # md5("") into its own deterministic bucket (split("") == [""], same as
+    # the pre-rewrite per-doc fold semantics)
+    zero_bucket = out[out.simhash == 0]
+    assert len(zero_bucket) == 1 and int(zero_bucket.n_docs.iloc[0]) >= 1
