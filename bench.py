@@ -58,12 +58,13 @@ def main() -> None:
         for name in headline:
             REGISTRY[name].fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
             release_query_resources(spark)
-    # BENCH_REPS>1: best-of-k per query — this host shows sporadic ~20 s
-    # throttle bursts that land on ONE random query per pass (the slow
-    # outlier moved between d05/q33/q31 across otherwise-identical runs);
-    # min-per-query across passes removes the burst without hiding real
-    # regressions. Default 1 keeps the driver's single-pass behavior.
-    reps = int(os.environ.get("BENCH_REPS", "1"))
+    # Best-of-k per query, DEFAULT k=2 (r4 verdict #8): this host shows
+    # sporadic ~20 s throttle bursts that land on ONE random query per pass
+    # (the slow outlier moved between d05/q33/q31/q32b across otherwise-
+    # identical runs); min-per-query across passes removes the burst without
+    # hiding real regressions, so the official per-round record is burst-free
+    # by construction. BENCH_REPS=1 restores single-pass timing.
+    reps = int(os.environ.get("BENCH_REPS", "2"))
     for _ in range(max(reps, 1)):
         for name in headline:
             fn = REGISTRY[name].fn

@@ -68,3 +68,12 @@ def makedirs(path: str) -> None:
 
 def remove(path: str) -> None:
     os.remove(path)
+
+
+def rmtree(path: str) -> None:
+    """Recursively delete a directory tree (missing path is a no-op) —
+    operator scratch space (barrier files) shares this seam with the table
+    metadata so an object-store adapter swaps ONE module, not call sites."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)

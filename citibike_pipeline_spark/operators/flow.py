@@ -255,16 +255,33 @@ def build_flow_network(
     return adj
 
 
+# One Edmonds-Karp per (application, sf, top_k) per session: q32 and q32b
+# consume the IDENTICAL reduction + solve, and a full-registry pass used to
+# pay the most expensive driver-side line twice (r4 verdict #3). The memo is
+# keyed on the Spark applicationId so a new session (or app) never reads a
+# stale solve; the testdata under an sf dir is immutable within a run. The
+# cached dicts are treated as read-only by both consumers.
+_SOLVE_MEMO: dict[tuple[str, str, int], tuple] = {}
+
+
+def _solved_network(spark: SparkSession, sf: str, top_k: int):
+    """(hub_rows, edge_rows, value, flow, marks) for the hub flow network —
+    reduction collected once, Edmonds-Karp run once, shared by q32/q32b."""
+    key = (spark.sparkContext.applicationId, sf, top_k)
+    if key not in _SOLVE_MEMO:
+        sup, part, edges = _hub_graph(spark, sf, top_k)
+        hub_rows = {r.node: int(r.capacity) for r in sup.unionByName(part).collect()}  # ≤ 2K
+        edge_rows = [(r.src, r.dst) for r in edges.collect()]  # ≤ K² rows
+        adj = build_flow_network(hub_rows, edge_rows)
+        value, flow = _edmonds_karp(adj, SUPER_SOURCE, SUPER_SINK)
+        marks = classify_hubs(adj, flow, list(hub_rows))
+        _SOLVE_MEMO.clear()  # bound: one live solve — a registry pass reuses one key
+        _SOLVE_MEMO[key] = (hub_rows, edge_rows, value, flow, marks)
+    return _SOLVE_MEMO[key]
+
+
 def q32_max_flow(spark: SparkSession, sf: str, top_k: int = TOP_K) -> DataFrame:
-    sup, part, edges = _hub_graph(spark, sf, top_k)
-    hubs = sup.unionByName(part)
-
-    hub_rows = {r.node: int(r.capacity) for r in hubs.collect()}  # ≤ 2K rows
-    edge_rows = [(r.src, r.dst) for r in edges.collect()]          # ≤ K² rows
-
-    adj = build_flow_network(hub_rows, edge_rows)
-    value, flow = _edmonds_karp(adj, SUPER_SOURCE, SUPER_SINK)
-    marks = classify_hubs(adj, flow, list(hub_rows))
+    hub_rows, edge_rows, value, flow, marks = _solved_network(spark, sf, top_k)
 
     # per-hub throughput = flow across its node-split edge, plus the
     # residual-reachability classification (analysis.py:129-191)
@@ -318,13 +335,11 @@ def q32b_flow_invariants(spark: SparkSession, sf: str, top_k: int = TOP_K) -> Da
     throughput; total ≤ min(Σ supplier caps, Σ part caps); per-hub flow ≤
     incident inter-hub edge capacity; critical/bottleneck hubs saturated
     (both classifications imply a saturated split edge, else an augmenting
-    path would exist)."""
-    sup, part, edges = _hub_graph(spark, sf, top_k)
-    hub_rows = {r.node: int(r.capacity) for r in sup.unionByName(part).collect()}
-    edge_rows = [(r.src, r.dst) for r in edges.collect()]
-    adj = build_flow_network(hub_rows, edge_rows)
-    value, flow = _edmonds_karp(adj, SUPER_SOURCE, SUPER_SINK)
-    marks = classify_hubs(adj, flow, list(hub_rows))
+    path would exist).
+
+    Shares the collected reduction and the Edmonds-Karp solve with q32 via
+    ``_solved_network`` (one solve per registry pass — r4 verdict #3)."""
+    hub_rows, edge_rows, value, flow, marks = _solved_network(spark, sf, top_k)
     split = {h: flow.get(f"{h}_in", {}).get(f"{h}_out", 0.0) for h in hub_rows}
 
     sup_nodes = sorted(h for h in hub_rows if h.startswith("s"))

@@ -33,11 +33,12 @@ cluster must be able to read the barrier files the driver's plan references.
 from __future__ import annotations
 
 import os
-import shutil
 import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..lake import fs
 
 _LOCK = threading.Lock()
 _PERSISTED: list[tuple[SparkSession, DataFrame]] = []
@@ -64,8 +65,9 @@ def warehouse_scratch_root(spark: SparkSession) -> str:
     """Root for operator scratch space: ``$SPARK_GRAFT_SCRATCH`` if set, else
     ``<spark.sql.warehouse.dir>/_scratch``. Both resolve to a path every
     executor can reach on a real deployment (the warehouse dir is by
-    definition the shared store); an object-store deployment swaps the local
-    mkdir/rmtree in lake.fs, same seam as the table metadata."""
+    definition the shared store); all directory create/delete here goes
+    through ``lake.fs`` (makedirs/rmtree), the same adapter seam the table
+    metadata uses, so an object-store deployment swaps one module."""
     env = os.environ.get("SPARK_GRAFT_SCRATCH")
     if env:
         return env
@@ -77,7 +79,7 @@ def scratch_dir(spark: SparkSession, name: str) -> str:
     """Create a fresh scratch dir for one operator invocation and register it
     for release after the caller consumes the result."""
     p = os.path.join(warehouse_scratch_root(spark), f"{name}_{uuid.uuid4().hex[:8]}")
-    os.makedirs(p, exist_ok=True)
+    fs.makedirs(p)
     with _LOCK:
         _SCRATCH.append((spark, p))
     return p
@@ -110,7 +112,7 @@ def release_scratch(spark: SparkSession | None = None) -> None:
     Only safe after the owning results have been consumed — scratch files
     BACK returned DataFrames (d08's barriers)."""
     for _, p in _drain(_SCRATCH, spark):
-        shutil.rmtree(p, ignore_errors=True)
+        fs.rmtree(p)
 
 
 def release_query_resources(spark: SparkSession | None = None) -> None:

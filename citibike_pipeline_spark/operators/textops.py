@@ -543,7 +543,8 @@ D08_ROUNDS = 16
 
 def d08_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     import os
-    import shutil
+
+    from ..lake import fs
 
     # PERSISTED: the adjacency union references the pair set twice (forward
     # + swapped direction) — without a cache the entire d05 LSH pipeline
@@ -623,7 +624,7 @@ def d08_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
             ),
             f"r{i + 1}",
         )
-        shutil.rmtree(os.path.join(tmp, f"r{i}"), ignore_errors=True)
+        fs.rmtree(os.path.join(tmp, f"r{i}"))
         # exact: per-doc labels only ever decrease (least(...) includes the
         # old label), so an unchanged SUM means NO label changed
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
