@@ -20,7 +20,13 @@ from pyspark.sql import functions as F
 
 from .io import T
 from .resources import scoped_persist
-from .sizing import GATE_N_LABELS, GATE_N_VECS, auto_lsh_planes, auto_nprobe
+from .sizing import (
+    GATE_N_LABELS,
+    GATE_N_VECS,
+    auto_kmeans_k,
+    auto_lsh_planes,
+    auto_nprobe,
+)
 
 DIMS = 64
 N_QUERY = 3     # vec_id < N_QUERY serve as query vectors
@@ -111,17 +117,33 @@ SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS sim FROM (
 # ANN index would shuffle into at scale).
 # --------------------------------------------------------------------------
 
-def _plane_dot(p: int):
-    """sum_i emb[i] * sin(p*1000 + i) — the plane is a CONSTANT vector, so
-    it folds to a literal array and the dot is one zip_with pass. (The
-    index-walk alternative, element_at(embedding, i) per i, re-inlines the
-    embedding expression per index when it is a derived array — e03's
-    augmented copies made that O(dims²) per plane.) Python's libm sin
-    matches DuckDB's (same C library) on these inputs; a sign flip would
-    need |plane_dot| < 1e-15, unobserved across the corpus."""
+# Hyperplane family: plane p, component i = sin(PHI * (p+1) * i) — one
+# Fourier mode per plane at a distinct golden-angle frequency. Distinct
+# frequencies over 64 samples give a near-orthogonal FULL-RANK family; the
+# round-1..4 family sin(p*1000 + i) was rank-2 (every plane a combination
+# of sin(i), cos(i) — the identity sin(a+i) = sin(a)cos(i) + cos(a)sin(i)),
+# so the sign bits could only carve ~2·planes arcs of one 2-D projection:
+# at 10^5 synthetic vectors, 40 "planes" produced 2,500-vector buckets
+# (caught by tests/test_hash64.py). Components are computed ONCE in Python
+# and embedded as literals in BOTH the Spark plan and the DuckDB oracle —
+# cross-engine exactness by construction, no libm-agreement assumption.
+_PLANE_FREQ = 2.399963229728653  # golden angle, rad
+
+
+def _plane_components(p: int) -> list[float]:
     import math
 
-    plane = F.array(*[F.lit(math.sin(p * 1000 + i)) for i in range(1, DIMS + 1)])
+    return [math.sin(_PLANE_FREQ * (p + 1) * i) for i in range(1, DIMS + 1)]
+
+
+def _plane_dot(p: int):
+    """sum_i emb[i] * plane_p[i] — the plane is a CONSTANT literal array, so
+    the dot is one zip_with pass (sequential left fold; the oracle renders
+    the identical literals in the identical add order). The index-walk
+    alternative, element_at(embedding, i) per i, re-inlines the embedding
+    expression per index when it is a derived array — e03's augmented
+    copies made that O(dims²) per plane."""
+    plane = F.array(*[F.lit(c) for c in _plane_components(p)])
     return F.aggregate(
         F.zip_with(F.col("embedding"), plane, lambda x, s: x.cast("double") * s),
         F.lit(0.0),
@@ -150,27 +172,37 @@ def e02_lsh_buckets(
     )
 
 
-def _bucket_sql() -> str:
+def _bucket_sql(n_planes: int = N_PLANES, plane_offset: int = 0) -> str:
+    # the EXACT plane literals (repr round-trips to the identical double),
+    # and an explicit left-associative + chain matching F.aggregate's
+    # sequential fold order — bit-identical dots by construction (list_sum's
+    # internal order was only coincidentally compatible, cf. e08)
     def plane(p):
-        return (
-            f"CASE WHEN list_sum(list_transform(generate_series(1, {DIMS}), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * sin({p * 1000} + CAST(i AS DOUBLE)))) > 0 "
-            f"THEN {2 ** p} ELSE 0 END"
+        comps = _plane_components(plane_offset + p)
+        dot = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * ({comps[i]!r})"
+            for i in range(DIMS)
         )
+        return f"CASE WHEN {dot} > 0 THEN {2 ** p} ELSE 0 END"
 
-    return " + ".join(plane(p) for p in range(N_PLANES))
+    return " + ".join(plane(p) for p in range(n_planes))
 
 
-E02_SQL = f"""
-WITH b AS (SELECT vec_id, {_bucket_sql()} AS bucket FROM embeddings)
+def _e02_sql(n_planes: int = N_PLANES) -> str:
+    return f"""
+WITH b AS (SELECT vec_id, {_bucket_sql(n_planes)} AS bucket FROM embeddings)
 SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
 FROM b GROUP BY bucket
 """
 
 
+E02_SQL = _e02_sql()
+
+
 # --------------------------------------------------------------------------
-# e03: embedding-cosine near-duplicate pairs, LSH-bucketed — candidates only
-# within a bucket (bounded quadratic), then exact cosine filter. The engine's
+# e03: embedding-cosine near-duplicate pairs, multi-table SRP-LSH —
+# candidates only within a (table, bucket) cell (bounded quadratic, OR
+# across tables for recall), then exact cosine filter. The engine's
 # embedding near-dup dedup path.
 #
 # The synthetic embeddings are near-orthogonal (max pairwise cosine ~0.51 at
@@ -206,39 +238,90 @@ def _augmented(emb: DataFrame) -> DataFrame:
     return base.unionByName(copies)
 
 
+# OR-tables for the candidate stage (multi-table SRP-LSH): a near-dup pair
+# at cosine θ misses ONE table with prob ≈ 1-(1-θ/π)^planes (~5% at 8
+# planes for the planted 0.9998 pairs), so single-table recall decays as
+# the plane count auto-sizes up. Four independent tables (disjoint plane
+# index ranges → distinct Fourier frequencies) drive the miss rate to
+# ~(5%)^4 ≈ 6e-6 while each table's occupancy bound still limits the
+# quadratic work — the AND-OR construction d05 uses for MinHash, applied
+# to sign-random-projection. (Before the full-rank plane fix the old
+# single-table path showed recall 1.0 only because the rank-2 family
+# projected near-dups onto the same arc by construction.)
+SRP_TABLES = 4
+
+
 def e03_neardup_pairs(
-    spark: SparkSession, sf: str, n_planes: int | None = None
+    spark: SparkSession,
+    sf: str,
+    n_planes: int | None = None,
+    n_tables: int = SRP_TABLES,
 ) -> DataFrame:
     base = T(spark, sf, "embeddings")
     if n_planes is None:
         # sized on the base corpus (the planted copies are a few percent)
         n_planes = auto_lsh_planes(base.count())
     emb = _augmented(base)
-    # materialize bucket assignments AND per-vector norms once — both sides
-    # of the candidate join probe them (at scale this is the persisted ANN
-    # index table). Precomputing the norm cuts per-pair work from
-    # dot+2 norms (3 array folds) to one fold + a multiply: the candidate
-    # set is bucket-bounded but still quadratic-within-bucket, so per-pair
-    # cost is the term that scales.
-    # scoped_persist: the cache is released by the harness after the caller
-    # consumes the returned plan (which probes this index twice) — see
-    # operators/resources.py for the lifecycle contract.
-    b = scoped_persist(emb.select(
-        "vec_id", "embedding", _bucket_expr(n_planes).alias("bucket"),
-        _norm(F.col("embedding")).alias("nrm"),
+    # materialize the vector index (embedding + norm) once — the exact
+    # cosine stage probes it on both sides of every candidate pair.
+    # Precomputing the norm cuts per-pair work from dot+2 norms (3 array
+    # folds) to one fold + a multiply: candidates are bucket-bounded but
+    # quadratic-within-bucket, so per-pair cost is the term that scales.
+    # scoped_persist: released by the harness after the caller consumes the
+    # returned plan (operators/resources.py lifecycle).
+    idx = scoped_persist(emb.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"),
     ))
-    a, c = b.alias("a"), b.alias("c")
-    return (
+
+    def table_bucket(t: int):
+        # table t uses plane indices [t*n_planes, (t+1)*n_planes) — disjoint
+        # frequencies, so tables are independent
+        return sum(
+            (
+                F.when(_plane_dot(t * n_planes + p) > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+                for p in range(n_planes)
+            ),
+            start=F.lit(0),
+        )
+
+    # the LSH index: (vec_id, table, bucket) — persisted because the
+    # candidate self-join probes it twice (recomputing = 2x the plane dots)
+    bands = scoped_persist(
+        idx.select(
+            "vec_id",
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(t).alias("tbl"), table_bucket(t).alias("val"))
+                    for t in range(n_tables)
+                ])
+            ).alias("b"),
+        ).select("vec_id", F.col("b.tbl").alias("tbl"), F.col("b.val").alias("val"))
+    )
+    a, c = bands.alias("a"), bands.alias("c")
+    cand = (
         a.join(
             c,
-            (F.col("a.bucket") == F.col("c.bucket"))
+            (F.col("a.tbl") == F.col("c.tbl"))
+            & (F.col("a.val") == F.col("c.val"))
             & (F.col("a.vec_id") < F.col("c.vec_id")),
         )
+        # OR across tables: >=1 shared (table, bucket) makes a candidate;
+        # the groupBy dedups pairs colliding in several tables
+        .groupBy(
+            F.col("a.vec_id").alias("vec_a"), F.col("c.vec_id").alias("vec_b")
+        )
+        .agg(F.count(F.lit(1)).alias("_nt"))
+        .drop("_nt")
+    )
+    ia, ic = idx.alias("ia"), idx.alias("ic")
+    return (
+        cand.join(ia, cand.vec_a == F.col("ia.vec_id"))
+        .join(ic, cand.vec_b == F.col("ic.vec_id"))
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("c.vec_id").alias("vec_b"),
-            (_dot(F.col("a.embedding"), F.col("c.embedding"))
-             / (F.col("a.nrm") * F.col("c.nrm"))).alias("sim"),
+            "vec_a",
+            "vec_b",
+            (_dot(F.col("ia.embedding"), F.col("ic.embedding"))
+             / (F.col("ia.nrm") * F.col("ic.nrm"))).alias("sim"),
         )
         .filter(F.col("sim") >= NEARDUP_THRESHOLD)
         .select("vec_a", "vec_b", F.round("sim", 6).alias("sim"))
@@ -258,8 +341,14 @@ _SQL_NORM_C2 = (
     "i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))"
 ).format(d=DIMS)
 
-E03_SQL = f"""
-WITH aug AS (
+def _e03_sql(n_planes: int = N_PLANES, n_tables: int = SRP_TABLES) -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, "
+        f"{_bucket_sql(n_planes, plane_offset=t * n_planes)} AS val FROM aug"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH aug AS MATERIALIZED (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
   FROM embeddings
@@ -269,13 +358,24 @@ WITH aug AS (
                         i -> CAST(embedding[i] AS DOUBLE) * (1.0 + 0.0009 * (i - 1)))
   FROM embeddings WHERE vec_id % {NEARDUP_EVERY} = 0
 ),
-b AS (SELECT vec_id, embedding, {_bucket_sql()} AS bucket FROM aug)
+bands AS MATERIALIZED ({bands}),
+cand AS (
+  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b
+  FROM bands a JOIN bands c
+    ON a.tbl = c.tbl AND a.val = c.val AND a.vec_id < c.vec_id
+  GROUP BY 1, 2
+)
 SELECT vec_a, vec_b, ROUND(sim, 6) AS sim FROM (
-  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+  SELECT p.vec_a, p.vec_b,
          {_SQL_DOT_AC} / ({_SQL_NORM_A} * {_SQL_NORM_C2}) AS sim
-  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  FROM cand p
+  JOIN aug a ON a.vec_id = p.vec_a
+  JOIN aug c ON c.vec_id = p.vec_b
 ) WHERE sim >= {NEARDUP_THRESHOLD}
 """
+
+
+E03_SQL = _e03_sql()
 
 
 # --------------------------------------------------------------------------
@@ -399,7 +499,8 @@ _SQL_COS_QC = (
     f"i -> c.centroid[i] * c.centroid[i]))))"
 )
 
-E05_SQL = f"""
+def _e05_sql(nprobe: int = NPROBE) -> str:
+    return f"""
 WITH dims AS (
   SELECT label, i - 1 AS dim, embedding[i] AS v
   FROM embeddings, generate_series(1, {DIMS}) t(i)
@@ -421,7 +522,7 @@ probed AS (
            ) AS lrank
     FROM embeddings q CROSS JOIN cents c
     WHERE q.vec_id < {N_QUERY}
-  ) WHERE lrank <= {NPROBE}
+  ) WHERE lrank <= {nprobe}
 )
 SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS sim FROM (
   SELECT p.query_id, c.vec_id AS neighbor_id,
@@ -436,6 +537,9 @@ SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS sim FROM (
   WHERE c.vec_id != p.query_id
 ) WHERE rank <= {TOP_K}
 """
+
+
+E05_SQL = _e05_sql()
 
 
 # --------------------------------------------------------------------------
@@ -515,9 +619,10 @@ def e07_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-E07_SQL = f"""
+def _e07_sql(nprobe: int = NPROBE) -> str:
+    return f"""
 WITH exact AS ({E01_SQL}),
-approx AS ({E05_SQL}),
+approx AS ({_e05_sql(nprobe)}),
 hits AS (
   SELECT e.query_id, COUNT(*) AS n_hits
   FROM exact e JOIN approx a
@@ -529,6 +634,9 @@ SELECT p.query_id, p.k, COALESCE(h.n_hits, 0) AS n_hits,
        ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / p.k, 6) AS recall
 FROM per_q p LEFT JOIN hits h ON p.query_id = h.query_id
 """
+
+
+E07_SQL = _e07_sql()
 
 
 # --------------------------------------------------------------------------
@@ -608,6 +716,332 @@ FROM embeddings e JOIN cents c ON e.label = c.label
 """
 
 
+# --------------------------------------------------------------------------
+# e09/e10: label-free IVF — deterministic k-means coarse quantizer (train)
+# and the query path over it. r4 verdict #5: e05's "coarse quantizer" was
+# the label column, so an unlabeled corpus (the common case) could not be
+# indexed at all. This is the real thing: k ~ sqrt(n) lists (sizing.py),
+# fixed seeds and iteration count so BOTH engines compute the identical
+# fixed point, and a full DuckDB oracle via unrolled MATERIALIZED CTEs.
+#
+# Determinism across engines (the e04/e08 lessons, applied systematically):
+# - seeds = vectors at vec_id stride n//k, components ROUND(·,6) — all
+#   rounding happens ENGINE-side (F.round / SQL ROUND, hash-proven equal),
+#   never Python's banker's round();
+# - per-dim centroid updates use DECIMAL(28,12) sums cast DOUBLE then
+#   ROUND 6 (bit-identical across engines), empty clusters keep their
+#   previous centroid;
+# - distances are left-fold Σ(e_i-c_i)² over bit-identical inputs in the
+#   identical order ⇒ bit-identical doubles ⇒ identical argmin, with cid as
+#   the deterministic tiebreak.
+#
+# Spark-first shape = MLlib's own KMeans loop: centroids live on the driver
+# (k·d doubles, ≤4096·64 at the sizing cap — trivially collectable), each
+# iteration is ONE narrow literal-broadcast assignment pass over the corpus
+# plus ONE shuffle for the per-(cid, dim) update aggregate. The fit is
+# memoized per (application, sf, k, iters) — e09 and e10 share one fit, the
+# flow-solve pattern.
+# --------------------------------------------------------------------------
+
+KMEANS_ITERS = 4
+KMEANS_K = None  # resolved per corpus via sizing.auto_kmeans_k
+
+
+def _assign_expr(cents: dict[int, list[float]]):
+    """array_min over (dist, cid) structs == argmin with cid tiebreak."""
+    entries = []
+    for cid in sorted(cents):
+        c = F.array(*[F.lit(x) for x in cents[cid]])
+        dist = F.aggregate(
+            F.zip_with(F.col("e"), c, lambda x, cc: (x - cc) * (x - cc)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        entries.append(F.struct(dist.alias("dist"), F.lit(cid).alias("cid")))
+    return F.array_min(F.array(*entries))["cid"]
+
+
+_KMEANS_MEMO: dict[tuple, tuple] = {}
+
+
+def _kmeans_fit(
+    spark: SparkSession, sf: str, k: int, iters: int = KMEANS_ITERS
+) -> dict[int, list[float]]:
+    """Centroids after ``iters`` deterministic Lloyd rounds (driver-side
+    dict cid -> components, every component a round-6 double)."""
+    key = (spark.sparkContext.applicationId, sf, k, iters)
+    if key in _KMEANS_MEMO:
+        return _KMEANS_MEMO[key]
+    emb = T(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    n = emb.count()
+    stride = max(n // k, 1)
+    seed_rows = (
+        emb.filter((F.col("vec_id") % stride == 0) & (F.col("vec_id") < k * stride))
+        .select(
+            (F.col("vec_id") / stride).cast("int").alias("cid"),
+            F.transform("e", lambda x: F.round(x, 6)).alias("c"),
+        )
+        .collect()
+    )
+    cents = {r.cid: list(r.c) for r in seed_rows}
+    for _ in range(iters):
+        assign = emb.select("vec_id", _assign_expr(cents).alias("cid"))
+        upd = (
+            assign.join(emb, "vec_id")
+            .select("cid", F.posexplode("e").alias("dim", "v"))
+            .groupBy("cid", "dim")
+            .agg(
+                F.round(
+                    F.sum(F.col("v").cast("decimal(28,12)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("cm")
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cm"))),
+                    lambda s: s["cm"],
+                ).alias("c")
+            )
+            .collect()
+        )
+        new = {r.cid: list(r.c) for r in upd}
+        # empty clusters keep their previous centroid
+        cents = {cid: new.get(cid, old) for cid, old in cents.items()}
+    _KMEANS_MEMO.clear()  # bound: one live fit per session
+    _KMEANS_MEMO[key] = cents
+    return cents
+
+
+def e09_kmeans_centroids(
+    spark: SparkSession, sf: str, k: int | None = None, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    emb = T(spark, sf, "embeddings")
+    if k is None:
+        k = auto_kmeans_k(emb.count())  # 22 at the gate corpus
+    cents = _kmeans_fit(spark, sf, k, iters)
+    # final assignment against the final centroids defines the lists the
+    # query path (e10) probes; all arithmetic below is Spark expressions —
+    # no Python float rounding anywhere
+    e = T(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    counts = e.select(_assign_expr(cents).alias("cluster_id")).groupBy(
+        "cluster_id"
+    ).agg(F.count(F.lit(1)).alias("n_vecs"))
+    cdf = spark.createDataFrame(
+        [(cid, cents[cid]) for cid in sorted(cents)],
+        "cluster_id int, c array<double>",
+    )
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.transform("c", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        ),
+        6,
+    )
+    return cdf.join(counts, "cluster_id", "left").select(
+        "cluster_id",
+        F.coalesce("n_vecs", F.lit(0)).alias("n_vecs"),
+        norm.alias("centroid_norm"),
+        F.round(F.element_at("c", 1), 6).alias("c0"),
+        F.round(F.element_at("c", 2), 6).alias("c1"),
+        F.round(F.element_at("c", 3), 6).alias("c2"),
+        F.round(F.element_at("c", 4), 6).alias("c3"),
+    )
+
+
+def e10_kmeans_ivf_topk(
+    spark: SparkSession,
+    sf: str,
+    k: int | None = None,
+    nprobe: int | None = None,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    emb = T(spark, sf, "embeddings")
+    if k is None:
+        k = auto_kmeans_k(emb.count())
+    if nprobe is None:
+        nprobe = auto_nprobe(k)  # ~k/3
+    cents = _kmeans_fit(spark, sf, k, iters)
+    e = emb.select(
+        "vec_id",
+        "embedding",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    # coarse: rank ALL k centroids per query by L2 distance (k is tiny —
+    # the ranking is a literal expression, no join), keep nprobe lists
+    dist_structs = []
+    for cid in sorted(cents):
+        c = F.array(*[F.lit(x) for x in cents[cid]])
+        dist = F.aggregate(
+            F.zip_with(F.col("e"), c, lambda x, cc: (x - cc) * (x - cc)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dist_structs.append(F.struct(dist.alias("dist"), F.lit(cid).alias("cid")))
+    probed = (
+        e.filter(F.col("vec_id") < N_QUERY)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.explode(
+                F.slice(F.sort_array(F.array(*dist_structs)), 1, nprobe)
+            ).alias("p"),
+        )
+        .select("query_id", "qe", F.col("p.cid").alias("cid"))
+    )
+    # fine: exact cosine only within the probed inverted lists — the fact
+    # side shuffles once on its ASSIGNED list id (at scale the corpus is
+    # stored list-partitioned and unprobed lists prune at the scan)
+    cand = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "embedding",
+        _assign_expr(cents).alias("cid"),
+    )
+    scored = (
+        cand.join(F.broadcast(probed), on="cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine(F.col("qe"), F.col("embedding")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+def _sql_sq_dist(e_expr: str, c_expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {DIMS}), "
+        f"d -> ({e_expr}[d] - {c_expr}[d]) * ({e_expr}[d] - {c_expr}[d]))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _kmeans_cte_sql(k: int, n_vecs: int, iters: int = KMEANS_ITERS) -> str:
+    """Unrolled Lloyd iterations as MATERIALIZED CTEs mirroring _kmeans_fit
+    exactly; exposes cent{iters} (cid, c) and assign_final (vec_id, cid)."""
+    stride = max(n_vecs // k, 1)
+    parts = [
+        "emb AS MATERIALIZED (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)",
+        f"cent0 AS MATERIALIZED (SELECT CAST(vec_id // {stride} AS INT) AS cid, "
+        f"list_transform(e, x -> ROUND(x, 6)) AS c FROM emb "
+        f"WHERE vec_id % {stride} = 0 AND vec_id < {k * stride})",
+    ]
+    assign_body = (
+        "SELECT vec_id, cid FROM ("
+        "SELECT emb.vec_id, c.cid, ROW_NUMBER() OVER ("
+        "PARTITION BY emb.vec_id ORDER BY "
+        + _sql_sq_dist("emb.e", "c.c")
+        + " ASC, c.cid) AS rn FROM emb CROSS JOIN cent{i} c) WHERE rn = 1"
+    )
+    for i in range(iters):
+        parts.append(
+            f"assign{i} AS MATERIALIZED ({assign_body.format(i=i)})"
+        )
+        parts.append(
+            f"cent{i + 1} AS MATERIALIZED ("
+            f"SELECT p.cid, CASE WHEN n.cid IS NULL THEN p.c ELSE n.c END AS c "
+            f"FROM cent{i} p LEFT JOIN ("
+            f"SELECT cid, list(cm ORDER BY dim) AS c FROM ("
+            f"SELECT a.cid, d.i - 1 AS dim, "
+            f"ROUND(CAST(SUM(CAST(emb.e[d.i] AS DECIMAL(28,12))) AS DOUBLE) "
+            f"/ COUNT(*), 6) AS cm "
+            f"FROM assign{i} a JOIN emb ON emb.vec_id = a.vec_id, "
+            f"generate_series(1, {DIMS}) d(i) "
+            f"GROUP BY a.cid, d.i) GROUP BY cid) n ON p.cid = n.cid)"
+        )
+    parts.append(
+        f"assign_final AS MATERIALIZED ({assign_body.format(i=iters)})"
+    )
+    return ",\n".join(parts)
+
+
+def _e09_sql(k: int, n_vecs: int, iters: int = KMEANS_ITERS) -> str:
+    norm = (
+        "ROUND(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(p.c, x -> x * x)), (acc, x) -> acc + x)), 6)"
+    )
+    return f"""
+WITH {_kmeans_cte_sql(k, n_vecs, iters)},
+counts AS (SELECT cid, COUNT(*) AS n FROM assign_final GROUP BY cid)
+SELECT p.cid AS cluster_id, COALESCE(n.n, 0) AS n_vecs,
+       {norm} AS centroid_norm,
+       ROUND(p.c[1], 6) AS c0, ROUND(p.c[2], 6) AS c1,
+       ROUND(p.c[3], 6) AS c2, ROUND(p.c[4], 6) AS c3
+FROM cent{iters} p LEFT JOIN counts n ON p.cid = n.cid
+"""
+
+
+def _e10_sql(k: int, n_vecs: int, nprobe: int, iters: int = KMEANS_ITERS) -> str:
+    return f"""
+WITH {_kmeans_cte_sql(k, n_vecs, iters)},
+probed AS (
+  SELECT query_id, cid FROM (
+    SELECT q.vec_id AS query_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_sql_sq_dist("q.e", "c.c")} ASC, c.cid
+           ) AS lrank
+    FROM emb q CROSS JOIN cent{iters} c
+    WHERE q.vec_id < {N_QUERY}
+  ) WHERE lrank <= {nprobe}
+)
+SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS sim FROM (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         {_SQL_DOT} / ({_SQL_NORM_Q} * {_SQL_NORM_C}) AS sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.query_id
+           ORDER BY {_SQL_DOT} / ({_SQL_NORM_Q} * {_SQL_NORM_C}) DESC, c.vec_id
+         ) AS rank
+  FROM probed p
+  JOIN assign_final af ON af.cid = p.cid
+  JOIN embeddings c ON c.vec_id = af.vec_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  WHERE c.vec_id != p.query_id
+) WHERE rank <= {TOP_K}
+"""
+
+
+# static gate-corpus renderings (k = 22 lists at 500 vectors)
+E09_SQL = _e09_sql(auto_kmeans_k(GATE_N_VECS), GATE_N_VECS)
+E10_SQL = _e10_sql(
+    auto_kmeans_k(GATE_N_VECS), GATE_N_VECS, auto_nprobe(auto_kmeans_k(GATE_N_VECS))
+)
+
+
+# Corpus-adaptive oracle renderers (r4 verdict #1) — the same generators
+# that produced the static anchor strings, rendered at the measured corpus
+# size, mirroring the sizing call each operator makes itself. Consumed by
+# tools/check_gate.py --adaptive; at the gate corpus they reproduce the
+# static strings exactly (sizing anchors).
+EMBEDDINGS_ADAPTIVE_SQL = {
+    "e02_lsh_buckets": lambda counts: _e02_sql(auto_lsh_planes(counts["n_vecs"])),
+    "e03_neardup_pairs": lambda counts: _e03_sql(auto_lsh_planes(counts["n_vecs"])),
+    "e05_ivf_topk": lambda counts: _e05_sql(auto_nprobe(counts["n_labels"])),
+    "e07_ann_recall": lambda counts: _e07_sql(auto_nprobe(counts["n_labels"])),
+    "e09_kmeans_centroids": lambda counts: _e09_sql(
+        auto_kmeans_k(counts["n_vecs"]), counts["n_vecs"]
+    ),
+    "e10_kmeans_ivf_topk": lambda counts: _e10_sql(
+        auto_kmeans_k(counts["n_vecs"]),
+        counts["n_vecs"],
+        auto_nprobe(auto_kmeans_k(counts["n_vecs"])),
+    ),
+}
+
 EMBEDDINGS = {
     "e01_cosine_topk": (e01_cosine_topk, E01_SQL),
     "e02_lsh_buckets": (e02_lsh_buckets, E02_SQL),
@@ -617,4 +1051,6 @@ EMBEDDINGS = {
     "e06_quantize_int8": (e06_quantize_int8, E06_SQL),
     "e07_ann_recall": (e07_ann_recall, E07_SQL),
     "e08_centroid_outliers": (e08_centroid_outliers, E08_SQL),
+    "e09_kmeans_centroids": (e09_kmeans_centroids, E09_SQL),
+    "e10_kmeans_ivf_topk": (e10_kmeans_ivf_topk, E10_SQL),
 }

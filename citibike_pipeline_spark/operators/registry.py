@@ -13,8 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .relational import RELATIONAL
 from .advanced import ADVANCED
-from .textops import TEXTOPS
-from .embeddings import EMBEDDINGS
+from .textops import TEXTOPS, TEXTOPS_ADAPTIVE_SQL
+from .embeddings import EMBEDDINGS, EMBEDDINGS_ADAPTIVE_SQL
 from .multimodal import MULTIMODAL
 from .flow import FLOW
 
@@ -30,3 +30,8 @@ REGISTRY: dict[str, QuerySpec] = {
     for group in (RELATIONAL, ADVANCED, TEXTOPS, EMBEDDINGS, MULTIMODAL, FLOW)
     for name, (fn, sql) in group.items()
 }
+
+# name -> callable({"n_docs", "n_vecs", "n_labels"}) -> oracle SQL rendered at
+# the measured corpus size, for the auto-sized operators whose static oracle
+# is anchored to the sf0.01 gate corpus (tools/check_gate.py --adaptive).
+ADAPTIVE_SQL = {**TEXTOPS_ADAPTIVE_SQL, **EMBEDDINGS_ADAPTIVE_SQL}

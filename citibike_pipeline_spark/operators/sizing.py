@@ -26,9 +26,12 @@ Sizing rationale per knob:
   stays put. (Leskovec/Rajaraman/Ullman, MMDS ch.3.)
 - SimHash width / LSH hyperplanes: ~log2(n) sign bits keeps EXPECTED bucket
   occupancy (n / 2^bits) constant as n grows, which is exactly what bounds
-  the quadratic within-bucket candidate work. SimHash is capped at 32 bits
-  because the implementation draws bit j from md5 hex nibble j+1 (32
-  nibbles); a 64-bit variant swaps in xxhash64 — same structure.
+  the quadratic within-bucket candidate work. SimHash widths ≤32 draw bit j
+  from md5 hex nibble j+1 (DuckDB-oracle parity at gate widths); widths >32
+  switch the bit source to xxhash64 automatically (textops.d06) — the
+  formula's 64-bit ceiling, reached around 2^65 docs, i.e. never. LSH
+  hyperplane count is capped at 62 so the bucket id Σ 2^p stays an exact
+  positive BIGINT (no sign-bit wrap) in both engines.
 - IVF nprobe: a constant fraction (~1/3) of the inverted lists, the
   standard recall/cost dial; nlists itself equals the label cardinality by
   construction (the coarse quantizer is the label assignment — at true
@@ -54,17 +57,27 @@ def auto_minhash_bands(n_docs: int, threshold: float = 0.5) -> tuple[int, int]:
 
 
 def auto_simhash_bits(n_docs: int) -> int:
-    """~log2(n) bits for constant expected bucket occupancy, capped at the
-    md5-nibble width. 500 -> 8 [anchor]; 5_000 -> 12; 10^10 -> 32."""
-    return min(32, max(8, math.ceil(math.log2(max(n_docs, 2))) - 1))
+    """~log2(n) bits for constant expected bucket occupancy. 500 -> 8
+    [anchor]; 5_000 -> 12; 10^10 -> 33 (>32 selects the xxhash64 bit source
+    in textops.d06 — the md5-nibble source only covers 32 bits)."""
+    return min(64, max(8, math.ceil(math.log2(max(n_docs, 2))) - 1))
 
 
 def auto_lsh_planes(n_vecs: int) -> int:
     """Random-hyperplane count for the embedding LSH: expected occupancy
-    n / 2^planes stays a small constant. 500 -> 8 [anchor]; 2_000 -> 10."""
-    return min(32, max(4, math.ceil(math.log2(max(n_vecs, 2))) - 1))
+    n / 2^planes stays a small constant. 500 -> 8 [anchor]; 2_000 -> 10;
+    10^10 -> 33. Cap 62 keeps Σ 2^p an exact positive BIGINT bucket id."""
+    return min(62, max(4, math.ceil(math.log2(max(n_vecs, 2))) - 1))
 
 
 def auto_nprobe(n_lists: int) -> int:
     """Probe ~1/3 of the inverted lists. 10 -> 3 [anchor]."""
     return max(1, round(n_lists / 3))
+
+
+def auto_kmeans_k(n_vecs: int) -> int:
+    """Coarse-quantizer list count for the label-free IVF (e09/e10):
+    k ~ sqrt(n), the standard nlists heuristic — per-list scan cost and
+    list-ranking cost balance at sqrt. 500 -> 22; 10^10 -> 4096 (cap: the
+    centroid table stays driver-collectable at k*d doubles)."""
+    return min(4096, max(2, round(math.sqrt(max(n_vecs, 4)))))

@@ -323,10 +323,14 @@ pairs AS {m}(
 )"""
 
 
-D05_SQL = f"""
-WITH {_minhash_pairs_cte()}
+def _d05_sql(b: int = MINHASH_B, r: int = MINHASH_R) -> str:
+    return f"""
+WITH {_minhash_pairs_cte(b, r)}
 SELECT doc_a, doc_b, n_shared_bands FROM pairs
 """
+
+
+D05_SQL = _d05_sql()
 
 
 # --------------------------------------------------------------------------
@@ -340,9 +344,15 @@ def d06_simhash(spark: SparkSession, sf: str, bits: int | None = None) -> DataFr
     docs = T(spark, sf, "documents")
     if bits is None:
         bits = auto_simhash_bits(docs.count())  # 8 at the gate corpus
-    # bit j of a token = high bit of hex nibble j+1 of md5(token).
+    # Bit source per width (sizing.py): widths ≤32 draw bit j from the high
+    # bit of hex nibble j+1 of md5(token) — the path the DuckDB oracle
+    # evaluates identically at gate widths. Widths >32 (corpora past ~2^33
+    # docs) draw bit j of xxhash64(token) — a 64-bit JVM-side hash with no
+    # Python in the loop; its pipeline is pinned by a pure-Python xxhash64
+    # reimplementation + planted-collision/occupancy tests
+    # (tests/test_hash64.py) since DuckDB has no xxhash64 to oracle against.
     # EXPLODE + hash once + one grouped aggregate (the d05 lesson): the
-    # per-bit array-fold alternative evaluates md5(token) once PER BIT —
+    # per-bit array-fold alternative evaluates the token hash once PER BIT —
     # O(bits x words) digests per doc, and the auto-sized width multiplies
     # it (12 bits at sf0.1: measured 2.3 s -> 0.6 s). Here each token is
     # hashed exactly once; the per-bit +/-1 sums combine map-side before
@@ -353,28 +363,38 @@ def d06_simhash(spark: SparkSession, sf: str, bits: int | None = None) -> DataFr
     # plain explode would silently DROP such docs from the bucket counts
     # (found in the round-4 self-review; the gate corpus has no empty
     # texts, so the hash gate could not catch it).
-    hashes = docs.select("doc_id", F.explode_outer(_words()).alias("t")).select(
-        "doc_id", F.md5("t").alias("h")
-    )
+    tokens = docs.select("doc_id", F.explode_outer(_words()).alias("t"))
+    if bits <= 32:
+        hashes = tokens.select("doc_id", F.md5("t").alias("h"))
+
+        def bit_is_set(j: int):
+            return F.substring("h", j + 1, 1).isin(
+                "8", "9", "a", "b", "c", "d", "e", "f"
+            )
+    else:
+        hashes = tokens.select("doc_id", F.xxhash64("t").alias("h"))
+
+        def bit_is_set(j: int):
+            # arithmetic shiftright then &1 extracts bit j exactly for
+            # j ≤ 63 (sign extension never reaches the masked low bit)
+            return F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1
+
     bit_cols = [
-        F.sum(
-            F.when(
-                F.substring("h", j + 1, 1).isin(
-                    "8", "9", "a", "b", "c", "d", "e", "f"
-                ),
-                1,
-            ).otherwise(-1)
-        ).alias(f"b{j}")
+        F.sum(F.when(bit_is_set(j), 1).otherwise(-1)).alias(f"b{j}")
         for j in range(bits)
     ]
     per_doc = hashes.groupBy("doc_id").agg(*bit_cols)
-    simhash = sum(
-        (
-            F.when(F.col(f"b{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
-            for j in range(bits)
-        ),
-        start=F.lit(0),
-    )
+    # assemble the bucket id: bitwise-OR of distinct powers of two — exact
+    # for every j including 63 (shiftleft wraps to the long sign bit, still
+    # a distinct deterministic bucket id; Σ 2^j would mix signs there)
+    simhash = F.lit(0).cast("long")
+    for j in range(bits):
+        simhash = simhash.bitwiseOR(
+            F.when(
+                F.col(f"b{j}") > 0,
+                F.shiftleft(F.lit(1).cast("long"), j),
+            ).otherwise(F.lit(0).cast("long"))
+        )
     hashed = per_doc.select("doc_id", simhash.alias("simhash"))
     return hashed.groupBy("simhash").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id")
@@ -382,6 +402,11 @@ def d06_simhash(spark: SparkSession, sf: str, bits: int | None = None) -> DataFr
 
 
 def _simhash_sql(bits: int = SIMHASH_BITS) -> str:
+    # the md5-nibble construction below covers exactly 32 bits; wider
+    # widths use the xxhash64 source, which DuckDB cannot oracle (pinned by
+    # tests/test_hash64.py instead)
+    assert bits <= 32, f"md5-nibble oracle covers <=32 bits, got {bits}"
+
     def bit(j):
         return (
             "CASE WHEN list_sum(list_transform(string_split(text,' '), "
@@ -637,7 +662,9 @@ def d08_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _d08_sql(rounds: int = D08_ROUNDS) -> str:
+def _d08_sql(
+    rounds: int = D08_ROUNDS, b: int = MINHASH_B, r: int = MINHASH_R
+) -> str:
     levels = []
     prev = "l0"
     for i in range(1, rounds + 1):
@@ -658,7 +685,7 @@ def _d08_sql(rounds: int = D08_ROUNDS) -> str:
         )
         prev = f"l{i}"
     return f"""
-WITH {_minhash_pairs_cte(materialized=True)},
+WITH {_minhash_pairs_cte(b, r, materialized=True)},
 adj AS MATERIALIZED (
   SELECT doc_a, doc_b FROM pairs
   UNION ALL
@@ -1138,4 +1165,23 @@ TEXTOPS = {
     "d12_pii_scrub": (d12_pii_scrub, D12_SQL),
     "d13_training_corpus": (d13_training_corpus, D13_SQL),
     "d14_lang_balanced_sample": (d14_lang_balanced_sample, D14_SQL),
+}
+
+# Corpus-adaptive oracle renderers (r4 verdict #1): the static *_SQL strings
+# above are rendered at import time at the GATE-CORPUS anchors, so at any
+# other corpus the Spark side auto-sizes (sizing.py) while the static oracle
+# stays at the anchor — the auto-sized plans were hash-verified nowhere.
+# Each entry renders the SAME oracle generator at the measured corpus size,
+# mirroring exactly the sizing call the operator itself makes; at the anchor
+# corpus they reproduce the static strings byte-for-byte (sizing anchors).
+# Consumed by tools/check_gate.py --adaptive. ``counts`` keys: n_docs,
+# n_vecs, n_labels.
+TEXTOPS_ADAPTIVE_SQL = {
+    "d05_minhash_lsh_pairs": lambda counts: _d05_sql(
+        *auto_minhash_bands(counts["n_docs"])
+    ),
+    "d06_simhash": lambda counts: _simhash_sql(auto_simhash_bits(counts["n_docs"])),
+    "d08_dup_clusters": lambda counts: _d08_sql(
+        D08_ROUNDS, *auto_minhash_bands(counts["n_docs"])
+    ),
 }

@@ -51,10 +51,13 @@ def test_widths_scale_with_corpus():
     assert auto_minhash_bands(5_000) == (8, 3)       # sharper S-curve knee
     assert auto_simhash_bits(5_000) == 12
     assert auto_lsh_planes(2_000) == 10
-    # monotone and capped at the far end
+    # monotone at the far end; >32 simhash bits select the xxhash64 bit
+    # source (the md5-nibble source covers only 32 — see textops.d06)
     assert auto_minhash_bands(10_000_000_000) == (32, 8)
-    assert auto_simhash_bits(10_000_000_000) == 32   # md5-nibble cap
-    assert auto_lsh_planes(10_000_000_000) == 32
+    assert auto_simhash_bits(10_000_000_000) == 33
+    assert auto_lsh_planes(10_000_000_000) == 33
+    assert auto_simhash_bits(2 ** 70) == 64          # formula ceiling
+    assert auto_lsh_planes(2 ** 70) == 62            # positive-BIGINT cap
     assert auto_nprobe(300) == 100
 
 
