@@ -62,7 +62,7 @@ from pyspark.sql.types import StructField, StructType
 from ..lake import LakeCatalog, merge_into
 from ..lake import fs
 from ..sources.bronze import BronzeLog
-from .dedup import lww_dedup_agg
+from .dedup import lww_dedup_agg, op_rank_col
 from .reconcile import reconcile_to_schema
 from .schemas import EVENT_SCHEMA_V1, KEY_COLS
 from .skew import detect_hot_keys
@@ -89,10 +89,18 @@ class CdcEngine:
         mor_autocompact_deltas: int | None = 16,
         day_partition: bool = False,
     ):
-        if merge_mode not in ("cow", "mor"):
-            raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
+        if merge_mode not in ("cow", "mor", "mor-del"):
+            raise ValueError(
+                f"merge_mode must be 'cow', 'mor' or 'mor-del', got {merge_mode!r}"
+            )
         self.spark = spark
         self.merge_mode = merge_mode
+        # both merge-on-read variants share the delta-append write path and
+        # the autocompact policy; they differ only in HOW reads resolve:
+        # "mor" re-aggregates (full LWW max_by over base ∪ deltas), "mor-del"
+        # anti-joins equality-delete files (Iceberg v2 shape) — no read-side
+        # aggregate, cost bounded by the un-compacted delete-key set
+        self._mor_family = merge_mode in ("mor", "mor-del")
         # mor failure mode is unbounded read amplification from accumulated
         # deltas: fold them back into the base once this many delta commits
         # stack up (None = caller-driven compaction only)
@@ -180,7 +188,7 @@ class CdcEngine:
         self.bronze.append_epoch_pandas(
             pdf.reindex(columns=[f.name for f in self.bronze.schema().fields]),
             epoch,
-            bucket_spec=None if self.merge_mode == "mor"
+            bucket_spec=None if self._mor_family
             else self._silver_bucket_spec(),
         )
 
@@ -317,12 +325,34 @@ class CdcEngine:
         side LWW resolve, so the logical state is unchanged.
         """
         silver_cols = [f.name for f in silver.schema().fields]
-        if self.merge_mode == "mor":
+        if self._mor_family:
             deduped = lww_dedup_agg(
                 changes.select(*silver_cols),
                 extra_order_cols=[F.coalesce(F.col("ingest_epoch"), F.lit(-1))],
             )
-            snap = silver.append(deduped, summary={**summary, "mode": "mor_delta"})
+            if self.merge_mode == "mor-del":
+                # Iceberg-v2 equality-delete commit: EVERY change key gets a
+                # delete entry carrying its LWW order tuple, so older row
+                # versions (and older duplicate commits of this same epoch,
+                # via the _seq tiebreak) are masked at read time instead of
+                # re-aggregated. deduped feeds two writes — persist so the
+                # dedup aggregate runs once.
+                deduped = deduped.persist()
+                try:
+                    dels = deduped.select(
+                        *silver.current_snapshot().key_cols,
+                        "lsn", "op", "ingest_epoch",
+                    )
+                    snap = silver.append_with_deletes(
+                        deduped,
+                        dels,
+                        delete_cols=list(dels.columns),
+                        summary={**summary, "mode": "mor_delta"},
+                    )
+                finally:
+                    deduped.unpersist()
+            else:
+                snap = silver.append(deduped, summary={**summary, "mode": "mor_delta"})
             return {"buckets_touched": 0, "snapshot_id": snap.snapshot_id}
         # Landing-time bucket stats make pruning free (no distinct+collect
         # job), so they win whenever present; without them the table-relative
@@ -661,12 +691,15 @@ class CdcEngine:
         Under mor the date filter applies AFTER the LWW resolve over an
         un-day-pruned read: a key's versions can span days, so pruning
         delta files by day could resolve a stale winner."""
-        prune_days = days if self.merge_mode != "mor" else None
-        df = self.silver.read(buckets=buckets, days=prune_days)
-        if self.merge_mode == "mor":
-            df = lww_dedup_agg(
-                df, extra_order_cols=[F.coalesce(F.col("ingest_epoch"), F.lit(-1))]
-            )
+        prune_days = days if not self._mor_family else None
+        if self.merge_mode == "mor-del":
+            df = self._mor_del_resolved(buckets)
+        else:
+            df = self.silver.read(buckets=buckets, days=prune_days)
+            if self.merge_mode == "mor":
+                df = lww_dedup_agg(
+                    df, extra_order_cols=[F.coalesce(F.col("ingest_epoch"), F.lit(-1))]
+                )
         if days is not None:
             lo, hi = days
             d = F.to_date("ts")
@@ -675,6 +708,67 @@ class CdcEngine:
             if hi is not None:
                 df = df.filter(d <= F.lit(hi))
         return df
+
+    @staticmethod
+    def _seq_field():
+        from pyspark.sql.types import IntegerType, StructField
+
+        return StructField("_seq", IntegerType(), True)
+
+    def _mor_del_schema(self, snap):
+        """Read schema of the equality-delete files: key columns + the LWW
+        order columns + the commit sequence number."""
+        from pyspark.sql.types import StructType
+
+        by_name = {f.name: f for f in snap.schema().fields}
+        return StructType(
+            [by_name[k] for k in snap.key_cols]
+            + [by_name["lsn"], by_name["op"], by_name["ingest_epoch"],
+               self._seq_field()]
+        )
+
+    def _mor_del_resolved(self, buckets: list[int] | None) -> DataFrame:
+        """mor-del read resolve: data files anti-joined against the
+        equality-delete entries — a row survives unless some delete entry
+        for its key is strictly newer in the total order
+        (lsn, op_rank, ingest_epoch, commit _seq).
+
+        Why this beats the "mor" full re-aggregate at scale: the delete side
+        is bounded by the keys changed since the last compaction fold (the
+        autocompact policy bounds delta depth), so it broadcasts, and the
+        table side streams through one broadcast anti-join probe — no
+        whole-table shuffle/aggregate at read time. The ``_seq`` tiebreak is
+        what makes a crash-retried epoch structurally idempotent: the retry
+        commit's delete entries carry the same LWW tuple at a higher _seq
+        and mask the earlier commit's identical rows, while its own rows
+        (equal tuple, equal _seq) survive — at most one physical winner per
+        key, in every crash window, including re-apply after a compaction.
+        Base files written by compact predate ``_seq`` and read as NULL
+        (→ -1): any delta delete for the same key masks them iff strictly
+        newer, which the LWW tuple already guarantees.
+        """
+        snap = self.silver.current_snapshot()
+        keys = list(snap.key_cols)
+        rows = self.silver.read(buckets=buckets, extra_fields=[self._seq_field()])
+        dels = self.silver.read_deletes(self._mor_del_schema(snap), buckets=buckets)
+
+        def ord_tuple(seq_col):
+            return F.struct(
+                F.col("lsn").alias("_o0"),
+                op_rank_col().alias("_o1"),
+                F.coalesce(F.col("ingest_epoch"), F.lit(-1)).alias("_o2"),
+                F.coalesce(seq_col, F.lit(-1)).alias("_o3"),
+            )
+
+        d = dels.select(
+            *[F.col(k).alias(f"_d_{k}") for k in keys],
+            ord_tuple(F.col("_seq")).alias("_d_ord"),
+        )
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & (F.col(k) == F.col(f"_d_{k}"))
+        cond = cond & (F.col("_d_ord") > ord_tuple(F.col("_seq")))
+        return rows.join(F.broadcast(d), on=cond, how="left_anti").drop("_seq")
 
     def silver_view(self) -> DataFrame:
         """Logical silver: live turns only (tombstones filtered), stable
@@ -710,7 +804,7 @@ class CdcEngine:
         committed, so the fold sits off the apply path's critical section —
         a crash mid-compact loses nothing (the next resolve reads the same
         base ∪ deltas). Tombstones are retained (no watermark)."""
-        if self.merge_mode != "mor" or self.mor_autocompact_deltas is None:
+        if not self._mor_family or self.mor_autocompact_deltas is None:
             return None
         depth = self.mor_delta_depth()
         if depth < self.mor_autocompact_deltas:
@@ -754,8 +848,33 @@ class CdcEngine:
         # under mor this is ALSO the delta-fold (minor compaction): the
         # resolved state is rewritten as a collapsed base
         live = self.silver_resolved().filter(keep)
+        guards = guard_cols = None
+        if self.merge_mode == "mor-del":
+            # RETAIN the delete entries as per-key version guards — they are
+            # what masks a stale redelivery that lands AFTER the fold (the
+            # base winner's "newer than you" proof; without them an old
+            # (key, lsn) re-appended post-compact would resurface because no
+            # read-side aggregate re-ranks it). Same retention contract as
+            # tombstones: guards at-or-below the redelivery watermark can
+            # never be needed and are dropped. Physically folded to ONE
+            # entry per key (the max order tuple) with _seq reset to -1 so
+            # a guard never masks the equal-tuple base row the fold just
+            # wrote (strictly-newer masking only).
+            cur = silver.current_snapshot()
+            dels = silver.read_deletes(self._mor_del_schema(cur))
+            if watermark_lsn is not None:
+                dels = dels.filter(F.col("lsn") > F.lit(int(watermark_lsn)))
+            guard_cols = list(cur.key_cols) + ["lsn", "op", "ingest_epoch", "_seq"]
+            guards = lww_dedup_agg(
+                dels.drop("_seq"),
+                key_cols=list(cur.key_cols),
+                extra_order_cols=[F.coalesce(F.col("ingest_epoch"), F.lit(-1))],
+            ).withColumn("_seq", F.lit(-1).cast("int"))
         snap = silver.overwrite(
-            live, summary={"operation": "compact", "watermark_lsn": watermark_lsn}
+            live,
+            summary={"operation": "compact", "watermark_lsn": watermark_lsn},
+            deletes=guards,
+            delete_cols=guard_cols,
         )
         removed = silver.expire_snapshots(keep_last=2)
         return {"snapshot_id": snap.snapshot_id, "files_removed": removed}

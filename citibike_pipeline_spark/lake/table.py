@@ -150,6 +150,10 @@ class Snapshot:
     write_salt: int = 4          # hot-bucket write spread (skew splitting)
     day_col: str | None = None   # time-partition dimension (Iceberg days(ts))
     files: list[dict[str, Any]] = field(default_factory=list)  # {path, bucket[, day]}
+    # Iceberg-v2-style equality-delete files: each lists keys (+ LWW order
+    # columns + commit seq) whose OLDER row versions are masked at read time
+    # (merge_mode="mor-del"). Folded (cleared) by overwrite/compact.
+    delete_files: list[dict[str, Any]] = field(default_factory=list)
     parent_id: int | None = None
     summary: dict[str, Any] = field(default_factory=dict)
 
@@ -165,10 +169,13 @@ class Snapshot:
         files: list[dict[str, Any]],
         summary: dict[str, Any],
         schema_json: str | None = None,
+        delete_files: list[dict[str, Any]] | None = None,
     ) -> "Snapshot":
         """Successor snapshot carrying the table spec forward — the ONE place
         spec fields propagate, so adding a spec field can't silently drop it
-        from some commit type."""
+        from some commit type. ``delete_files=None`` carries the parent's
+        delete set forward unchanged; pass an explicit list to extend (delta
+        commit) or clear (compaction fold)."""
         return Snapshot(
             snapshot_id=self.snapshot_id + 1,
             schema_json=schema_json or self.schema_json,
@@ -178,6 +185,7 @@ class Snapshot:
             write_salt=self.write_salt,
             day_col=self.day_col,
             files=files,
+            delete_files=self.delete_files if delete_files is None else delete_files,
             parent_id=self.snapshot_id,
             summary=summary,
         )
@@ -193,6 +201,7 @@ class Snapshot:
                 "write_salt": self.write_salt,
                 "day_col": self.day_col,
                 "files": self.files,
+                "delete_files": self.delete_files,
                 "parent_id": self.parent_id,
                 "summary": self.summary,
             }
@@ -210,6 +219,7 @@ class Snapshot:
             write_salt=d.get("write_salt", 4),
             day_col=d.get("day_col"),
             files=d["files"],
+            delete_files=d.get("delete_files", []),
             parent_id=d.get("parent_id"),
             summary=d.get("summary", {}),
         )
@@ -348,6 +358,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         snapshot_id: int | None = None,
         days: tuple[str | None, str | None] | None = None,
+        extra_fields: list | None = None,
     ) -> DataFrame:
         """Scan the table (optionally bucket-pruned / day-pruned / time-travel).
 
@@ -358,6 +369,11 @@ class LakeTable:
         partition pruning / BQ `PARTITION BY DATE + CLUSTER BY`
         (``raw_trips_current.sql:18-19``). Files without day metadata
         (null-ts partitions, legacy commits) are conservatively kept.
+
+        ``extra_fields`` appends StructFields to the read schema for hidden
+        per-row metadata columns stored in the files but absent from the
+        table schema (mor-del's ``_seq`` commit number; files that predate
+        the column pad typed NULLs).
         """
         if snapshot_id is None:
             snap = self.current_snapshot()
@@ -366,6 +382,8 @@ class LakeTable:
                 fs.read_text(os.path.join(self._snap_dir, f"v{snapshot_id:09d}.json"))
             )
         schema = snap.schema()
+        for f in extra_fields or []:
+            schema = schema.add(f)
         files = snap.files
         if buckets is not None:
             bset = set(buckets)
@@ -384,12 +402,31 @@ class LakeTable:
         # padding typed NULLs at scan time (no rewrite).
         return self.spark.read.schema(schema).parquet(*[self._abs(f["path"]) for f in files])
 
+    def read_deletes(self, schema: StructType, buckets: list[int] | None = None) -> DataFrame:
+        """Scan the current snapshot's equality-delete files (mor-del).
+        ``schema`` is caller-defined (key + LWW order columns + ``_seq``);
+        bucket pruning is sound because a key's delete entries bucket
+        identically to its data rows."""
+        files = self.current_snapshot().delete_files
+        if buckets is not None:
+            bset = set(buckets)
+            files = [f for f in files if f["bucket"] in bset]
+        if not files:
+            return empty_df(self.spark, schema)
+        return self.spark.read.schema(schema).parquet(*[self._abs(f["path"]) for f in files])
+
     def schema(self) -> StructType:
         return self.current_snapshot().schema()
 
     # -- write ---------------------------------------------------------------
 
-    def _write_data_files(self, df: DataFrame, snap: Snapshot) -> list[dict[str, Any]]:
+    def _write_data_files(
+        self,
+        df: DataFrame,
+        snap: Snapshot,
+        cols: list[str] | None = None,
+        with_day: bool | None = None,
+    ) -> list[dict[str, Any]]:
         """Write df (already projected to table schema) as bucketed data files.
 
         The explicit repartition on (bucket(hash(bucket_cols)), salt) is the
@@ -398,15 +435,23 @@ class LakeTable:
         over `write_salt` concurrent write tasks instead of one fat straggler.
         The salt is a deterministic hash of the full key — retries salt
         identically (exactly-once safe), no rand().
+
+        ``cols`` overrides the projected column list (equality-delete files
+        carry key + order columns, not the table schema); ``with_day=False``
+        skips the day axis for frames that have no event-time column (delete
+        files — mor-del reads are never day-pruned, see engine).
         """
         out = os.path.join(self._data_dir, uuid.uuid4().hex)
-        cols = [f.name for f in snap.schema().fields]
+        cols = cols if cols is not None else [f.name for f in snap.schema().fields]
+        use_day = snap.day_col is not None if with_day is None else (
+            with_day and snap.day_col is not None
+        )
         salt = F.pmod(F.xxhash64(*[F.col(c) for c in snap.key_cols]), F.lit(max(snap.write_salt, 1)))
         proj = df.select(
             *cols, bucket_expr(snap.bucket_cols, snap.n_buckets).alias(BUCKET_COL)
         )
         part_cols = [BUCKET_COL]
-        if snap.day_col is not None:
+        if use_day:
             # Iceberg days(ts) + bucket(key): the day dimension prunes
             # time-scoped analytics/retention, the bucket dimension prunes
             # key-scoped merges — files carry both in the manifest
@@ -449,7 +494,7 @@ class LakeTable:
             return got
 
         files: list[dict[str, Any]] = []
-        if snap.day_col is None:
+        if not use_day:
             files = walk_bucket_dir(out, None)
         else:
             for ddir in os.listdir(out):
@@ -490,12 +535,69 @@ class LakeTable:
         self._commit(nxt)
         return nxt
 
-    def overwrite(self, df: DataFrame, summary: dict[str, Any] | None = None) -> Snapshot:
+    def append_with_deletes(
+        self,
+        df: DataFrame,
+        deletes: DataFrame,
+        delete_cols: list[str],
+        summary: dict[str, Any] | None = None,
+    ) -> Snapshot:
+        """Equality-delete delta commit (Iceberg v2 MOR shape): append ``df``
+        as data files AND ``deletes`` (key + LWW order columns) as
+        equality-delete files, atomically, stamping both with the commit's
+        sequence number ``_seq`` (= child snapshot id). Read-side masking
+        (engine.silver_resolved) hides any data row with a strictly-newer
+        delete entry — where "newer" is the LWW order tuple with ``_seq`` as
+        the final tiebreak, which is what makes a re-applied epoch's
+        duplicate rows collapse structurally (the newer commit's delete
+        entries mask the older commit's identical rows)."""
+        snap = self.current_snapshot()
+        seq = snap.snapshot_id + 1
+        data_cols = [f.name for f in snap.schema().fields]
+        new_files = self._write_data_files(
+            df.withColumn("_seq", F.lit(seq).cast("int")),
+            snap,
+            cols=data_cols + ["_seq"],
+        )
+        new_deletes = self._write_data_files(
+            deletes.withColumn("_seq", F.lit(seq).cast("int")),
+            snap,
+            cols=delete_cols + ["_seq"],
+            with_day=False,
+        )
+        nxt = snap.child(
+            snap.files + new_files,
+            {"operation": "append", **(summary or {})},
+            delete_files=snap.delete_files + new_deletes,
+        )
+        self._commit(nxt)
+        return nxt
+
+    def overwrite(
+        self,
+        df: DataFrame,
+        summary: dict[str, Any] | None = None,
+        deletes: DataFrame | None = None,
+        delete_cols: list[str] | None = None,
+    ) -> Snapshot:
         """Full replace — the reference's WRITE_TRUNCATE sink
-        (``analysis.py:216-226``), as one atomic snapshot."""
+        (``analysis.py:216-226``), as one atomic snapshot. Accumulated
+        equality-delete files are folded: cleared by default (the rewritten
+        base is already resolved), or REPLACED by ``deletes`` — the mor-del
+        compaction passes the retained per-key version guards here (see
+        engine.compact), already stamped with their ``_seq``."""
         snap = self.current_snapshot()
         new_files = self._write_data_files(df, snap)
-        nxt = snap.child(new_files, {"operation": "overwrite", **(summary or {})})
+        new_deletes: list[dict[str, Any]] = []
+        if deletes is not None:
+            new_deletes = self._write_data_files(
+                deletes, snap, cols=delete_cols, with_day=False
+            )
+        nxt = snap.child(
+            new_files,
+            {"operation": "overwrite", **(summary or {})},
+            delete_files=new_deletes,
+        )
         self._commit(nxt)
         return nxt
 
@@ -567,8 +669,12 @@ class LakeTable:
                 fs.read_text(os.path.join(self._snap_dir, f"v{sid:09d}.json"))
             )
             # canonicalize so the walk's paths compare equal regardless of
-            # how the manifest stored them (relative/absolute/legacy)
-            live.update(os.path.abspath(self._abs(x["path"])) for x in snap.files)
+            # how the manifest stored them (relative/absolute/legacy);
+            # delete files are live table state too (mor-del)
+            live.update(
+                os.path.abspath(self._abs(x["path"]))
+                for x in snap.files + snap.delete_files
+            )
         removed = 0
         for sid in history:
             if sid not in keep_ids:

@@ -37,49 +37,58 @@ def oracle_pdf() -> pd.DataFrame:
     return want[COLS].reset_index(drop=True)
 
 
-def mor_engine(spark, tmp_path, name) -> CdcEngine:
+MODES = ["mor", "mor-del"]  # re-aggregate resolve vs equality-delete mask
+
+
+def mor_engine(spark, tmp_path, name, mode="mor") -> CdcEngine:
     eng = CdcEngine(spark, str(tmp_path / name), n_buckets=4, write_salt=2,
-                    merge_mode="mor")
+                    merge_mode=mode)
     eng.init_tables()
     for e in range(CFG.n_epochs):
         eng.ingest_epoch_pandas(generate_epoch(CFG, e), e)
     return eng
 
 
-def test_mor_replay_parity_epoch_at_a_time(spark, tmp_path):
-    eng = mor_engine(spark, tmp_path, "wh_mor")
+@pytest.mark.parametrize("mode", MODES)
+def test_mor_replay_parity_epoch_at_a_time(spark, tmp_path, mode):
+    eng = mor_engine(spark, tmp_path, "wh_mor", mode)
     metrics = eng.replay(catchup=False)
     assert all(m["buckets_touched"] == 0 for m in metrics)  # no rewrites
     pd.testing.assert_frame_equal(silver_pdf(eng), oracle_pdf(), check_dtype=False)
 
 
-def test_mor_catchup_parity(spark, tmp_path):
-    eng = mor_engine(spark, tmp_path, "wh_mor_catchup")
+@pytest.mark.parametrize("mode", MODES)
+def test_mor_catchup_parity(spark, tmp_path, mode):
+    eng = mor_engine(spark, tmp_path, "wh_mor_catchup", mode)
     eng.replay(catchup=True)
     pd.testing.assert_frame_equal(silver_pdf(eng), oracle_pdf(), check_dtype=False)
 
 
-def test_mor_reapplied_epoch_is_logical_noop(spark, tmp_path):
+@pytest.mark.parametrize("mode", MODES)
+def test_mor_reapplied_epoch_is_logical_noop(spark, tmp_path, mode):
     """Torn commit under MOR: re-appending an epoch's delta adds duplicate
-    physical rows whose identical (key, lsn, op) tie in the read-side LWW
-    resolve — the logical state is unchanged."""
+    physical rows that are a logical no-op — under "mor" the identical
+    (key, lsn, op) rows tie in the read-side LWW resolve; under "mor-del"
+    the retry commit's delete entries mask the earlier commit's identical
+    rows via the _seq tiebreak (exactly one physical winner)."""
     import os
 
-    eng = mor_engine(spark, tmp_path, "wh_mor_crash")
+    eng = mor_engine(spark, tmp_path, "wh_mor_crash", mode)
     eng.replay(catchup=False)
     want = silver_pdf(eng)
     for fn in os.listdir(eng._manifest_dir):
         if fn.startswith("e000002"):
             os.remove(os.path.join(eng._manifest_dir, fn))
     eng2 = CdcEngine(spark, eng.warehouse, n_buckets=4, write_salt=2,
-                     merge_mode="mor")
+                     merge_mode=mode)
     metrics = eng2.replay(catchup=False)
     assert [m["epoch"] for m in metrics] == [2]
     pd.testing.assert_frame_equal(silver_pdf(eng2), want)
 
 
-def test_mor_compact_folds_deltas(spark, tmp_path):
-    eng = mor_engine(spark, tmp_path, "wh_mor_compact")
+@pytest.mark.parametrize("mode", MODES)
+def test_mor_compact_folds_deltas(spark, tmp_path, mode):
+    eng = mor_engine(spark, tmp_path, "wh_mor_compact", mode)
     eng.replay(catchup=False)
     want = silver_pdf(eng)
     physical_before = eng.silver.row_count()
@@ -107,14 +116,15 @@ def test_mor_compact_folds_deltas(spark, tmp_path):
     assert len(got) == 1 and got[0].text == "post-compact patch"
 
 
-def test_mor_incremental_gold_matches_full_rebuild(spark, tmp_path):
+@pytest.mark.parametrize("mode", MODES)
+def test_mor_incremental_gold_matches_full_rebuild(spark, tmp_path, mode):
     """Incremental gold over a MOR silver reads bucket-pruned deltas+base
     through silver_resolved; the result must equal the full-refresh plans."""
     from citibike_pipeline_spark.plans import refresh_gold
     from citibike_pipeline_spark.plans.gold import _conv_plans
 
     eng = CdcEngine(spark, str(tmp_path / "wh_mor_gold"), n_buckets=4,
-                    write_salt=1, merge_mode="mor")
+                    write_salt=1, merge_mode=mode)
     eng.init_tables()
     for e in range(CFG.n_epochs):
         eng.ingest_epoch_pandas(generate_epoch(CFG, e), e)
@@ -133,11 +143,12 @@ def test_mor_incremental_gold_matches_full_rebuild(spark, tmp_path):
         pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=table)
 
 
-def test_autocompact_policy_bounds_delta_depth(spark, tmp_path):
+@pytest.mark.parametrize("mode", MODES)
+def test_autocompact_policy_bounds_delta_depth(spark, tmp_path, mode):
     """With mor_autocompact_deltas=N, replay folds the deltas once N commits
     stack up — the depth stays bounded and parity is untouched."""
     eng = CdcEngine(spark, str(tmp_path / "wh_mor_auto"), n_buckets=4,
-                    write_salt=2, merge_mode="mor", mor_autocompact_deltas=3)
+                    write_salt=2, merge_mode=mode, mor_autocompact_deltas=3)
     eng.init_tables()
     compacts = 0
     for e in range(CFG.n_epochs):
@@ -170,3 +181,45 @@ def test_autocompact_disabled_accumulates(spark, tmp_path):
         eng.replay(catchup=False)
     assert eng.mor_delta_depth() == CFG.n_epochs
     pd.testing.assert_frame_equal(silver_pdf(eng), oracle_pdf(), check_dtype=False)
+
+
+def test_mor_del_stale_redelivery_after_compact(spark, tmp_path):
+    """The bug the retained version guards exist for: after a compaction
+    fold, a stale redelivery (old lsn for a key whose newer winner now
+    lives only in the base) arrives in a later epoch. Under "mor" the
+    read-side LWW re-ranks it away; under "mor-del" only the retained
+    per-key delete guard can mask it — without guards the stale row
+    resurfaces (observed: 2 duplicate keys in the autocompact run)."""
+    eng = CdcEngine(spark, str(tmp_path / "wh_mdstale"), n_buckets=4,
+                    write_salt=2, merge_mode="mor-del",
+                    mor_autocompact_deltas=None)
+    eng.init_tables()
+    for e in range(CFG.n_epochs):
+        eng.ingest_epoch_pandas(generate_epoch(CFG, e), e)
+    eng.replay(catchup=False)
+    want = silver_pdf(eng)
+    key = want.iloc[0]
+    assert key.lsn > 1  # a stale lsn below the winner exists
+
+    eng.compact()  # fold deltas; guards must survive the fold
+
+    e = CFG.n_epochs
+    stale = pd.DataFrame(
+        {
+            "lsn": [int(key.lsn) - 1], "op": ["U"], "conv_id": [key.conv_id],
+            "turn_idx": [int(key.turn_idx)], "role": ["user"],
+            "text": ["stale redelivery"], "tool": [None],
+            "ts": pd.to_datetime(["2024-06-01 10:00:00"]),
+            "schema_version": [2], "partition_id": [0], "checkpoint_epoch": [e],
+        }
+    )
+    eng.ingest_epoch_pandas(stale, e)
+    eng.replay(catchup=False)
+
+    got = eng.silver_view().filter(
+        f"conv_id = '{key.conv_id}' AND turn_idx = {int(key.turn_idx)}"
+    ).collect()
+    assert len(got) == 1, f"stale redelivery resurfaced: {got}"
+    assert got[0].lsn == key.lsn and got[0].text != "stale redelivery"
+    # and the table overall still matches the oracle
+    pd.testing.assert_frame_equal(silver_pdf(eng), want)
