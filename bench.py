@@ -42,6 +42,11 @@ def main() -> None:
     )
 
     HEADLINE.extend(k for k in sorted(REGISTRY) if k not in HEADLINE)
+    # BENCH_ONLY=prefix[,prefix...]: time a subset (targeted re-measurement,
+    # e.g. the iterative queries in a quiet window); full registry otherwise.
+    only = os.environ.get("BENCH_ONLY")
+    if only:
+        HEADLINE[:] = [k for k in HEADLINE if k.startswith(tuple(only.split(",")))]
 
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
 

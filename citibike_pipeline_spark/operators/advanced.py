@@ -581,10 +581,12 @@ def q31_closeness(spark: SparkSession, sf: str) -> DataFrame:
     # PERSISTED: every BFS round joins against it, and each round's plan
     # also references the previous frontier TWICE (hop + union), so without
     # a cache the plan tree doubles per round and the edge distinct is
-    # recomputed at ~2^depth leaf positions (measured 9.2 s -> 2.9 s at
-    # sf0.1). CacheManager substitutes the InMemoryRelation into every
-    # matching subtree, collapsing the blowup; released by the harness via
-    # operators/resources.py.
+    # recomputed at ~2^depth leaf positions. CacheManager substitutes the
+    # InMemoryRelation into every matching subtree, collapsing the blowup;
+    # released by the harness via operators/resources.py. Reproduced
+    # steady state at sf0.1: ~8.3 s best-of-3 quiet — the ~0.5 s/job
+    # local-mode floor across ~14 BFS jobs dominates
+    # (BENCH/iterative_recheck_r5.json).
     edges = scoped_persist(
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     )
@@ -600,8 +602,8 @@ def q31_closeness(spark: SparkSession, sf: str) -> DataFrame:
     # magnitude smaller than the edge set — so both sides the rounds add
     # are broadcast, and the 2|E|-row edge table is NEVER shuffled: each
     # round is one in-place hash probe over the cached edges plus a small
-    # distinct. (The naive layering re-shuffled ~2|E| rows per round:
-    # 9.2 s -> ~2 s at sf0.1.) The count per round materializes the
+    # distinct (the naive layering re-shuffled ~2|E| rows per round).
+    # The count per round materializes the
     # persisted frontier and stops early once BFS has covered the graph.
     # Same min-dist result by BFS layer induction; the DuckDB oracle keeps
     # the naive unroll (it materializes per-level CTEs, where the simpler
