@@ -33,9 +33,11 @@ def main() -> None:
                          "epochs//2. Pin it explicitly when resuming with a larger "
                          "--epochs so the generated corpus stays identical.")
     ap.add_argument("--n-buckets", type=int, default=32)
-    ap.add_argument("--merge-mode", choices=["cow", "mor"], default="cow",
+    ap.add_argument("--merge-mode", choices=["cow", "mor", "mor-del"], default="cow",
                     help="cow = copy-on-write MERGE (default); mor = merge-on-read "
-                         "delta append with read-time LWW resolve")
+                         "delta append with read-time LWW resolve; mor-del = "
+                         "merge-on-read with equality-delete files (Iceberg v2 "
+                         "shape, read-time anti-join mask instead of re-aggregate)")
     ap.add_argument("--write-salt", type=int, default=4,
                     help="hot-bucket writer spread (see BENCH/skew_ab.py for "
                          "when this pays; 1 disables salting)")
