@@ -123,3 +123,39 @@ def test_silver_merge_reads_prune_buckets(spark, tmp_path):
     all_files = t.read().inputFiles()
     assert 0 < len(files) < len(all_files)
     assert all("_bucket=0" in f or "_bucket=1" in f for f in files)
+
+
+def test_mor_del_resolve_is_broadcast_antijoin_no_aggregate(spark, tmp_path):
+    """The mor-del selling point, enforced on the actual plan: the resolved
+    read must be ONE broadcast anti-join probe over the data files — no
+    HashAggregate (the "mor" full-table max_by) and no shuffled join of the
+    row payloads. A regression to either shape silently reintroduces the
+    whole-table read cost the delete files exist to remove."""
+    import pandas as pd
+
+    from citibike_pipeline_spark.cdc import CdcEngine
+    from citibike_pipeline_spark.cdc.generator import GenConfig, generate_epoch
+
+    cfg = GenConfig(n_convs=30, n_epochs=2, events_per_epoch=800,
+                    evolution_epoch=3)
+    eng = CdcEngine(spark, str(tmp_path / "wh_plan_md"), n_buckets=4,
+                    write_salt=1, merge_mode="mor-del",
+                    mor_autocompact_deltas=None)
+    eng.init_tables()
+    for e in range(cfg.n_epochs):
+        eng.ingest_epoch_pandas(generate_epoch(cfg, e), e)
+    eng.replay(catchup=False)
+
+    plan = _plan(eng.silver_resolved())
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:2000]
+    assert "HashAggregate" not in plan, "mor-del read must not re-aggregate"
+    assert "SortMergeJoin" not in plan, "delete mask must broadcast, not shuffle"
+
+
+def test_e10_fine_search_broadcasts_probe_set(spark, sf_dir):
+    """IVF fine search: the tiny probed-list set must broadcast against the
+    corpus side; a shuffle join here would move the whole corpus per query
+    batch."""
+    plan = _plan(entrymod.queries()["e10_kmeans_ivf_topk"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
