@@ -760,7 +760,23 @@ class CdcEngine:
                 F.coalesce(seq_col, F.lit(-1)).alias("_o3"),
             )
 
-        d = dels.select(
+        # Collapse to ONE delete entry per key — the max order tuple —
+        # BEFORE broadcasting: masking against only the per-key max is
+        # exactly equivalent (∃d: d > r  ⟺  max_d > r, the order is total),
+        # the broadcast build shrinks from Σ per-epoch entries to distinct
+        # changed keys, and each probe compares against exactly one entry
+        # instead of every commit the key ever appeared in (measured 2x
+        # end-to-end at delta depth 24, BENCH/mor_del_ab.json). This
+        # aggregate runs over the NARROW delete frame (keys + 3 ints) —
+        # row payloads still never shuffle, which is the mode's point.
+        d = lww_dedup_agg(
+            dels,
+            key_cols=keys,
+            extra_order_cols=[
+                F.coalesce(F.col("ingest_epoch"), F.lit(-1)),
+                F.coalesce(F.col("_seq"), F.lit(-1)),
+            ],
+        ).select(
             *[F.col(k).alias(f"_d_{k}") for k in keys],
             ord_tuple(F.col("_seq")).alias("_d_ord"),
         )

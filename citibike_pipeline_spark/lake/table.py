@@ -410,7 +410,9 @@ class LakeTable:
         files = self.current_snapshot().delete_files
         if buckets is not None:
             bset = set(buckets)
-            files = [f for f in files if f["bucket"] in bset]
+            # bucket-less entries (the coalesced narrow layout) are kept
+            # conservatively — the mask is narrow and broadcast-consumed
+            files = [f for f in files if f.get("bucket") is None or f["bucket"] in bset]
         if not files:
             return empty_df(self.spark, schema)
         return self.spark.read.schema(schema).parquet(*[self._abs(f["path"]) for f in files])
@@ -535,6 +537,37 @@ class LakeTable:
         self._commit(nxt)
         return nxt
 
+    def _write_delete_files(
+        self, deletes: DataFrame, cols: list[str]
+    ) -> list[dict[str, Any]]:
+        """Write an equality-delete frame as a FEW coalesced narrow files —
+        NOT through the salted/bucketed data writer. Delete entries are
+        keys + three ints, consumed whole by the read-side broadcast; the
+        first implementation bucketed+salted them like data (≈ buckets ×
+        salt tiny files per commit), which doubled the table's small-file
+        count and made mor-del reads SLOWER than the mor re-aggregate they
+        exist to replace (measured 2x at delta depth 24). Entries carry no
+        bucket id; read_deletes keeps them under bucket pruning
+        (conservative, same rule as day-less files). At warehouse scale,
+        size the coalesce by the landing row count instead of this
+        constant."""
+        import pyarrow.parquet as pq
+
+        out = os.path.join(self._data_dir, uuid.uuid4().hex)
+        _writer_view(deletes.select(*cols).coalesce(4)).write.parquet(
+            out, mode="overwrite"
+        )
+        entries = []
+        for fn in sorted(os.listdir(out)):
+            if fn.endswith(".parquet"):
+                p = os.path.join(out, fn)
+                entries.append({
+                    "path": os.path.relpath(p, self.path),
+                    "bucket": None,
+                    "rows": pq.ParquetFile(p).metadata.num_rows,
+                })
+        return entries
+
     def append_with_deletes(
         self,
         df: DataFrame,
@@ -559,11 +592,9 @@ class LakeTable:
             snap,
             cols=data_cols + ["_seq"],
         )
-        new_deletes = self._write_data_files(
+        new_deletes = self._write_delete_files(
             deletes.withColumn("_seq", F.lit(seq).cast("int")),
-            snap,
-            cols=delete_cols + ["_seq"],
-            with_day=False,
+            [c for c in delete_cols if c != "_seq"] + ["_seq"],
         )
         nxt = snap.child(
             snap.files + new_files,
@@ -590,9 +621,7 @@ class LakeTable:
         new_files = self._write_data_files(df, snap)
         new_deletes: list[dict[str, Any]] = []
         if deletes is not None:
-            new_deletes = self._write_data_files(
-                deletes, snap, cols=delete_cols, with_day=False
-            )
+            new_deletes = self._write_delete_files(deletes, delete_cols)
         nxt = snap.child(
             new_files,
             {"operation": "overwrite", **(summary or {})},

