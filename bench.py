@@ -45,8 +45,9 @@ def main() -> None:
     # BENCH_ONLY=prefix[,prefix...]: time a subset (targeted re-measurement,
     # e.g. the iterative queries in a quiet window); full registry otherwise.
     only = os.environ.get("BENCH_ONLY")
-    if only:
-        HEADLINE[:] = [k for k in HEADLINE if k.startswith(tuple(only.split(",")))]
+    prefixes = tuple(p for p in (only or "").split(",") if p)  # "" matches all
+    if prefixes:
+        HEADLINE[:] = [k for k in HEADLINE if k.startswith(prefixes)]
 
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
 
@@ -70,7 +71,15 @@ def main() -> None:
     # hiding real regressions, so the official per-round record is burst-free
     # by construction. BENCH_REPS=1 restores single-pass timing.
     reps = int(os.environ.get("BENCH_REPS", "2"))
+    from citibike_pipeline_spark.operators.resources import clear_session_memos
+
     for _ in range(max(reps, 1)):
+        # driver-side memos (flow solve, k-means fit) are shared WITHIN a
+        # pass (one solve per registry pass, by design) but must not leak
+        # ACROSS reps — min-per-query would otherwise record memoized,
+        # work-free times for the producing queries and hide regressions
+        # in the solve/fit itself
+        clear_session_memos()
         for name in headline:
             fn = REGISTRY[name].fn
             t0 = time.time()

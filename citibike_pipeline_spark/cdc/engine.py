@@ -734,10 +734,12 @@ class CdcEngine:
         (lsn, op_rank, ingest_epoch, commit _seq).
 
         Why this beats the "mor" full re-aggregate at scale: the delete side
-        is bounded by the keys changed since the last compaction fold (the
-        autocompact policy bounds delta depth), so it broadcasts, and the
-        table side streams through one broadcast anti-join probe — no
-        whole-table shuffle/aggregate at read time. The ``_seq`` tiebreak is
+        is keys + three ints (delta entries bounded by the autocompact
+        policy, plus the retained per-key guards — bounded by distinct
+        changed keys until a ``compact(watermark_lsn=...)`` prunes them
+        under the redelivery contract), so it broadcasts while small and
+        degrades to a NARROW shuffled anti-join past the broadcast
+        threshold — row payloads never shuffle at read time either way. The ``_seq`` tiebreak is
         what makes a crash-retried epoch structurally idempotent: the retry
         commit's delete entries carry the same LWW tuple at a higher _seq
         and mask the earlier commit's identical rows, while its own rows
@@ -747,10 +749,22 @@ class CdcEngine:
         (→ -1): any delta delete for the same key masks them iff strictly
         newer, which the LWW tuple already guarantees.
         """
+        # ONE snapshot pins both lists: data files and delete entries must
+        # come from the same commit, or a concurrent writer landing between
+        # two current-snapshot reads lets a newer delete mask an older file
+        # list (a key transiently vanishing — the "mor" path reads once and
+        # cannot tear this way).
         snap = self.silver.current_snapshot()
         keys = list(snap.key_cols)
-        rows = self.silver.read(buckets=buckets, extra_fields=[self._seq_field()])
-        dels = self.silver.read_deletes(self._mor_del_schema(snap), buckets=buckets)
+        rows = self.silver.read(
+            buckets=buckets,
+            snapshot_id=snap.snapshot_id,
+            extra_fields=[self._seq_field()],
+        )
+        dels = self.silver.read_deletes(
+            self._mor_del_schema(snap), buckets=buckets,
+            snapshot_id=snap.snapshot_id,
+        )
 
         def ord_tuple(seq_col):
             return F.struct(
@@ -784,7 +798,15 @@ class CdcEngine:
         for k in keys:
             cond = cond & (F.col(k) == F.col(f"_d_{k}"))
         cond = cond & (F.col("_d_ord") > ord_tuple(F.col("_seq")))
-        return rows.join(F.broadcast(d), on=cond, how="left_anti").drop("_seq")
+        # Broadcast only while the delete set is actually broadcast-sized —
+        # known for free from the manifest's per-file row stats. Past the
+        # threshold (accumulated guards for every key ever changed, when
+        # compaction runs without a redelivery watermark to prune them) the
+        # planner falls back to a narrow shuffled anti-join: keys + 3 ints
+        # on both shuffle sides, row payloads still never shuffle.
+        n_del = sum(int(f.get("rows") or 0) for f in snap.delete_files)
+        build = F.broadcast(d) if n_del <= 5_000_000 else d
+        return rows.join(build, on=cond, how="left_anti").drop("_seq")
 
     def silver_view(self) -> DataFrame:
         """Logical silver: live turns only (tombstones filtered), stable

@@ -402,12 +402,26 @@ class LakeTable:
         # padding typed NULLs at scan time (no rewrite).
         return self.spark.read.schema(schema).parquet(*[self._abs(f["path"]) for f in files])
 
-    def read_deletes(self, schema: StructType, buckets: list[int] | None = None) -> DataFrame:
-        """Scan the current snapshot's equality-delete files (mor-del).
+    def read_deletes(
+        self,
+        schema: StructType,
+        buckets: list[int] | None = None,
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Scan a snapshot's equality-delete files (mor-del).
         ``schema`` is caller-defined (key + LWW order columns + ``_seq``);
         bucket pruning is sound because a key's delete entries bucket
-        identically to its data rows."""
-        files = self.current_snapshot().delete_files
+        identically to its data rows. Pass ``snapshot_id`` to pair the
+        delete list with a data ``read()`` of the SAME snapshot — two
+        independent current-snapshot reads can tear across a concurrent
+        commit (a newer delete masking an older file list)."""
+        if snapshot_id is None:
+            snap = self.current_snapshot()
+        else:
+            snap = Snapshot.from_json(
+                fs.read_text(os.path.join(self._snap_dir, f"v{snapshot_id:09d}.json"))
+            )
+        files = snap.delete_files
         if buckets is not None:
             bset = set(buckets)
             # bucket-less entries (the coalesced narrow layout) are kept
@@ -637,6 +651,15 @@ class LakeTable:
         ``buckets``, replace everything inside them with ``df``'s files.
         This is the commit primitive under MERGE (lake.merge.merge_into)."""
         snap = self.current_snapshot()
+        if snap.delete_files:
+            # a CoW bucket rewrite would reset rewritten rows' _seq to NULL
+            # while carried-forward delete entries keep theirs — an
+            # equal-LWW-tuple delete would then mask the rewritten winner
+            # (silent key loss). The modes are not meant to mix; fold first.
+            raise ValueError(
+                "replace_buckets on a table with equality-delete files is "
+                "not supported — compact() the mor-del table first"
+            )
         bset = set(buckets)
         new_files = self._write_data_files(df, snap)
         for f in new_files:

@@ -43,6 +43,26 @@ from ..lake import fs
 _LOCK = threading.Lock()
 _PERSISTED: list[tuple[SparkSession, DataFrame]] = []
 _SCRATCH: list[tuple[SparkSession, str]] = []
+# Session-lifetime driver-side memos (flow's Edmonds-Karp solve, the k-means
+# fit) register their dicts here. They deliberately SURVIVE per-query
+# release — sharing one solve/fit across a registry pass is the point — but
+# a benchmark pass must clear them between REPS, or best-of-k records
+# memoized, work-free times for the producing queries and a regression in
+# the solve/fit becomes invisible (round-5 review finding).
+_MEMOS: list[dict] = []
+
+
+def register_session_memo(memo: dict) -> dict:
+    with _LOCK:
+        _MEMOS.append(memo)
+    return memo
+
+
+def clear_session_memos() -> None:
+    """Drop all registered driver-side memos (call between benchmark reps)."""
+    with _LOCK:
+        for m in _MEMOS:
+            m.clear()
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:

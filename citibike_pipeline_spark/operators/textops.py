@@ -1180,7 +1180,13 @@ TEXTOPS_ADAPTIVE_SQL = {
     "d05_minhash_lsh_pairs": lambda counts: _d05_sql(
         *auto_minhash_bands(counts["n_docs"])
     ),
-    "d06_simhash": lambda counts: _simhash_sql(auto_simhash_bits(counts["n_docs"])),
+    # None past 32 bits: the xxhash64 bit source has no DuckDB analog —
+    # check_gate --adaptive records d06 rows-only there (pytest pins the
+    # 64-bit pipeline instead, tests/test_hash64.py)
+    "d06_simhash": lambda counts: (
+        _simhash_sql(bits) if (bits := auto_simhash_bits(counts["n_docs"])) <= 32
+        else None
+    ),
     "d08_dup_clusters": lambda counts: _d08_sql(
         D08_ROUNDS, *auto_minhash_bands(counts["n_docs"])
     ),

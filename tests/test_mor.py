@@ -223,3 +223,18 @@ def test_mor_del_stale_redelivery_after_compact(spark, tmp_path):
     assert got[0].lsn == key.lsn and got[0].text != "stale redelivery"
     # and the table overall still matches the oracle
     pd.testing.assert_frame_equal(silver_pdf(eng), want)
+
+
+def test_replace_buckets_refuses_mor_del_table(spark, tmp_path):
+    """CoW bucket rewrites reset rewritten rows' _seq while carried-forward
+    delete entries keep theirs — an equal-tuple delete would then mask the
+    rewritten winner (silent key loss). The table must refuse instead."""
+    eng = CdcEngine(spark, str(tmp_path / "wh_md_rb"), n_buckets=4,
+                    write_salt=1, merge_mode="mor-del",
+                    mor_autocompact_deltas=None)
+    eng.init_tables()
+    eng.ingest_epoch_pandas(generate_epoch(CFG, 0), 0)
+    eng.replay(catchup=False)
+    assert eng.silver.current_snapshot().delete_files
+    with pytest.raises(ValueError, match="equality-delete"):
+        eng.silver.replace_buckets(eng.silver.read(), [0, 1, 2, 3])

@@ -305,3 +305,27 @@ def test_quantization_roundtrip_property(spark):
                 assert abs(recon - float(v)) <= scale / 127.0 + 1e-12
 
     run()
+
+
+def test_adaptive_d06_oracle_is_none_past_md5_width():
+    """Past 32 bits the xxhash64 bit source has no DuckDB analog: the
+    adaptive renderer must return None (rows-only at the gate) instead of
+    tripping the _simhash_sql width assert and killing the whole run."""
+    from citibike_pipeline_spark.operators.registry import ADAPTIVE_SQL
+
+    huge = {"n_docs": 10 ** 11, "n_vecs": 500, "n_labels": 10}
+    assert ADAPTIVE_SQL["d06_simhash"](huge) is None
+
+
+def test_session_memos_registered_and_clearable():
+    """flow's solve memo and the k-means fit memo must be registered with
+    the resources module so benchmark reps can clear them — otherwise
+    best-of-k records memoized, work-free times for q32/e09 and a
+    regression in the solve/fit becomes invisible."""
+    from citibike_pipeline_spark.operators import embeddings, flow
+    from citibike_pipeline_spark.operators.resources import clear_session_memos
+
+    flow._SOLVE_MEMO[("app", "sf", 1)] = ("sentinel",)
+    embeddings._KMEANS_MEMO[("app", "sf", 2, 4)] = {"sentinel": 1}
+    clear_session_memos()
+    assert not flow._SOLVE_MEMO and not embeddings._KMEANS_MEMO
