@@ -343,11 +343,18 @@ class CdcEngine:
                         *silver.current_snapshot().key_cols,
                         "lsn", "op", "ingest_epoch",
                     )
+                    # delta_kind stamps WHICH mor variant wrote this delta:
+                    # an "eqdel" delta is self-masking (carries its delete
+                    # entries); a plain "mor" delta is not and can only be
+                    # read by the re-aggregate. The mor-del read path
+                    # validates this so a mode switch on a live table fails
+                    # loudly instead of resurfacing superseded versions.
                     snap = silver.append_with_deletes(
                         deduped,
                         dels,
                         delete_cols=list(dels.columns),
-                        summary={**summary, "mode": "mor_delta"},
+                        summary={**summary, "mode": "mor_delta",
+                                 "delta_kind": "eqdel"},
                     )
                 finally:
                     deduped.unpersist()
@@ -755,6 +762,18 @@ class CdcEngine:
         # list (a key transiently vanishing — the "mor" path reads once and
         # cannot tear this way).
         snap = self.silver.current_snapshot()
+        # refuse deltas a "mor"-mode writer appended (no delete entries):
+        # without a read-side aggregate every superseded version in them
+        # would resurface as a duplicate row. Walk cost is bounded by the
+        # autocompact depth, driver-side JSON reads only.
+        for s in self._unfolded_delta_summaries(from_snap=snap):
+            if s.get("delta_kind") != "eqdel":
+                raise ValueError(
+                    "merge_mode='mor-del' cannot read delta commits written "
+                    "by merge_mode='mor' (no equality-delete entries — "
+                    "superseded versions would resurface as duplicates); "
+                    "compact() the table under 'mor' first, then switch"
+                )
         keys = list(snap.key_cols)
         rows = self.silver.read(
             buckets=buckets,
@@ -799,13 +818,20 @@ class CdcEngine:
             cond = cond & (F.col(k) == F.col(f"_d_{k}"))
         cond = cond & (F.col("_d_ord") > ord_tuple(F.col("_seq")))
         # Broadcast only while the delete set is actually broadcast-sized —
-        # known for free from the manifest's per-file row stats. Past the
-        # threshold (accumulated guards for every key ever changed, when
-        # compaction runs without a redelivery watermark to prune them) the
-        # planner falls back to a narrow shuffled anti-join: keys + 3 ints
-        # on both shuffle sides, row payloads still never shuffle.
-        n_del = sum(int(f.get("rows") or 0) for f in snap.delete_files)
-        build = F.broadcast(d) if n_del <= 5_000_000 else d
+        # known for free from the manifest's per-file stats. Gate on BYTES
+        # (parquet footprint; the in-memory hashed relation runs a few times
+        # that, still well inside an executor at 64 MB on disk), falling
+        # back to a row bound for pre-stats entries. Past the threshold
+        # (accumulated guards for every key ever changed, when compaction
+        # runs without a redelivery watermark to prune them) the planner
+        # falls back to a narrow shuffled anti-join: keys + 3 ints on both
+        # shuffle sides, row payloads still never shuffle.
+        sizes = [f.get("bytes") for f in snap.delete_files]
+        if all(b is not None for b in sizes):
+            small = sum(int(b) for b in sizes) <= 64 * 1024 * 1024
+        else:
+            small = sum(int(f.get("rows") or 0) for f in snap.delete_files) <= 500_000
+        build = F.broadcast(d) if small else d
         return rows.join(build, on=cond, how="left_anti").drop("_seq")
 
     def silver_view(self) -> DataFrame:
@@ -815,17 +841,17 @@ class CdcEngine:
             self.silver_resolved().filter(F.col("op") != "D").drop("op", "ingest_epoch")
         )
 
-    def mor_delta_depth(self) -> int:
-        """Consecutive delta-append commits since the last base fold —
-        the read-amplification measure the autocompact policy bounds.
-        Walks parent pointers; in steady state the walk is bounded by the
-        autocompact threshold (and by snapshot expiry after each compact)."""
-        snap = self.silver.current_snapshot()
-        depth = 0
+    def _unfolded_delta_summaries(self, from_snap=None) -> list[dict]:
+        """Summaries of the delta-append commits above the last base fold
+        (newest first). Walks parent pointers; in steady state the walk is
+        bounded by the autocompact threshold (and by snapshot expiry after
+        each compact)."""
+        snap = from_snap if from_snap is not None else self.silver.current_snapshot()
+        out: list[dict] = []
         while snap is not None:
             op = snap.summary.get("operation")
             if snap.summary.get("mode") == "mor_delta":
-                depth += 1
+                out.append(snap.summary)
             elif op not in ("add_columns",):
                 # create/overwrite/replace_buckets rewrote (or seeded) the
                 # base — deltas below it are folded; metadata-only commits
@@ -834,7 +860,12 @@ class CdcEngine:
             if snap.parent_id is None:
                 break
             snap = self.silver.get_snapshot(snap.parent_id)
-        return depth
+        return out
+
+    def mor_delta_depth(self) -> int:
+        """Consecutive delta-append commits since the last base fold —
+        the read-amplification measure the autocompact policy bounds."""
+        return len(self._unfolded_delta_summaries())
 
     def maybe_autocompact(self) -> dict | None:
         """Fold accumulated mor deltas once the depth crosses the policy

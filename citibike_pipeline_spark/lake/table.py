@@ -441,7 +441,6 @@ class LakeTable:
         df: DataFrame,
         snap: Snapshot,
         cols: list[str] | None = None,
-        with_day: bool | None = None,
     ) -> list[dict[str, Any]]:
         """Write df (already projected to table schema) as bucketed data files.
 
@@ -452,16 +451,14 @@ class LakeTable:
         The salt is a deterministic hash of the full key — retries salt
         identically (exactly-once safe), no rand().
 
-        ``cols`` overrides the projected column list (equality-delete files
-        carry key + order columns, not the table schema); ``with_day=False``
-        skips the day axis for frames that have no event-time column (delete
-        files — mor-del reads are never day-pruned, see engine).
+        ``cols`` overrides the projected column list (mor-del delta data
+        files carry the table schema plus ``_seq``). Equality-delete files
+        do NOT come through here — they use the coalesced narrow writer
+        (`_write_delete_files`).
         """
         out = os.path.join(self._data_dir, uuid.uuid4().hex)
         cols = cols if cols is not None else [f.name for f in snap.schema().fields]
-        use_day = snap.day_col is not None if with_day is None else (
-            with_day and snap.day_col is not None
-        )
+        use_day = snap.day_col is not None
         salt = F.pmod(F.xxhash64(*[F.col(c) for c in snap.key_cols]), F.lit(max(snap.write_salt, 1)))
         proj = df.select(
             *cols, bucket_expr(snap.bucket_cols, snap.n_buckets).alias(BUCKET_COL)
@@ -579,6 +576,9 @@ class LakeTable:
                     "path": os.path.relpath(p, self.path),
                     "bucket": None,
                     "rows": pq.ParquetFile(p).metadata.num_rows,
+                    # on-disk size feeds the read-side broadcast-vs-shuffle
+                    # decision (engine._mor_del_resolved) without a scan
+                    "bytes": os.path.getsize(p),
                 })
         return entries
 

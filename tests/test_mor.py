@@ -238,3 +238,26 @@ def test_replace_buckets_refuses_mor_del_table(spark, tmp_path):
     assert eng.silver.current_snapshot().delete_files
     with pytest.raises(ValueError, match="equality-delete"):
         eng.silver.replace_buckets(eng.silver.read(), [0, 1, 2, 3])
+
+
+def test_mor_del_refuses_mor_written_deltas(spark, tmp_path):
+    """Switching a live 'mor' warehouse to 'mor-del' must fail loudly while
+    un-folded mor deltas exist: they carry no equality-delete entries, so
+    the anti-join resolve would silently return every superseded version as
+    a duplicate row. After compact() folds them, the switch is legal."""
+    wh = str(tmp_path / "wh_modeswitch")
+    eng = CdcEngine(spark, wh, n_buckets=4, write_salt=1, merge_mode="mor",
+                    mor_autocompact_deltas=None)
+    eng.init_tables()
+    for e in range(2):
+        eng.ingest_epoch_pandas(generate_epoch(CFG, e), e)
+    eng.replay(catchup=False)
+    assert eng.mor_delta_depth() > 0
+    eng2 = CdcEngine(spark, wh, n_buckets=4, write_salt=1,
+                     merge_mode="mor-del", mor_autocompact_deltas=None)
+    with pytest.raises(ValueError, match="compact"):
+        eng2.silver_resolved()
+    # folding the deltas under 'mor' makes the same switch legal (base-only
+    # table: nothing left for the delete mask to miss)
+    eng.compact()
+    assert eng2.silver_view().count() > 0

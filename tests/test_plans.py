@@ -155,10 +155,15 @@ def test_mor_del_resolve_is_broadcast_antijoin_no_aggregate(spark, tmp_path):
     assert plan.count("HashAggregate") <= 2, "unexpected table-side aggregate"
     assert "SortMergeJoin" not in plan, "delete mask must broadcast, not shuffle"
     # the aggregate (if planned) sits under the BroadcastExchange, i.e. on
-    # the delete side, not above the data scan
-    bx = plan.find("BroadcastExchange")
-    ha = plan.find("HashAggregate")
-    assert ha == -1 or bx != -1, plan[:2000]
+    # the delete side, not above the data scan. In the physical tree the
+    # STREAMED (data) side prints before the build side, so any aggregate
+    # appearing before the exchange would be on the table side — the exact
+    # regression this test forbids.
+    phys = plan[plan.index("== Physical Plan =="):]
+    bx = phys.find("BroadcastExchange")
+    ha = phys.find("HashAggregate")
+    assert bx != -1, phys[:2000]
+    assert ha == -1 or ha > bx, "table-side aggregate above the data scan"
 
 
 def test_e10_fine_search_broadcasts_probe_set(spark, sf_dir):
