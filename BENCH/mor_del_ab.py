@@ -59,14 +59,15 @@ def main() -> None:
             pdf["text"] = pdf["text"] * text_mult
         pdfs.append(pdf)
 
-    def run(mode: str):
+    def run(mode: str, tag: str | None = None, **eng_kw):
+        tag = tag or mode
         # JIT warm per mode (separate throwaway engine, its own resolve plan)
-        warm = f"/tmp/mdab_warm_{mode}"
+        warm = f"/tmp/mdab_warm_{tag}"
         shutil.rmtree(warm, ignore_errors=True)
         wcfg = GenConfig(n_convs=200, n_epochs=2, events_per_epoch=5000,
                          evolution_epoch=3)
         weng = CdcEngine(spark, warm, n_buckets=32, merge_mode=mode,
-                         mor_autocompact_deltas=None)
+                         mor_autocompact_deltas=None, **eng_kw)
         weng.init_tables()
         for e in range(wcfg.n_epochs):
             weng.ingest_epoch_pandas(generate_epoch(wcfg, e), e)
@@ -74,10 +75,10 @@ def main() -> None:
             weng.silver_resolved().count()
         shutil.rmtree(warm, ignore_errors=True)
 
-        wh = f"/tmp/mdab_{mode}"
+        wh = f"/tmp/mdab_{tag}"
         shutil.rmtree(wh, ignore_errors=True)
         eng = CdcEngine(spark, wh, n_buckets=32, merge_mode=mode,
-                        mor_autocompact_deltas=None)
+                        mor_autocompact_deltas=None, **eng_kw)
         eng.init_tables()
         samples = {}
         apply_sec = 0.0
@@ -95,6 +96,7 @@ def main() -> None:
                     best = sec if best is None else min(best, sec)
                 samples[e + 1] = {
                     "depth": eng.mor_delta_depth(),
+                    "delete_files": len(eng.silver.current_snapshot().delete_files),
                     "read_sec": round(best, 3),
                     "rows": rows,
                 }
@@ -109,6 +111,10 @@ def main() -> None:
         "text_mult": text_mult,
         "mor": run("mor"),
         "mor_del": run("mor-del"),
+        # Iceberg rewrite-delete-files policy: the minor compaction keeps
+        # the delete side at ~1 collapsed file set between data folds
+        "mor_del_limit8": run("mor-del", tag="mor-del-limit8",
+                              mor_del_deletefile_limit=8),
     }
     deep = max(k for k in out["mor"]["samples"])
     a = out["mor"]["samples"][deep]["read_sec"]

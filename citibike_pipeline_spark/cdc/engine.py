@@ -87,6 +87,7 @@ class CdcEngine:
         hot_key_threshold: int = 50_000,
         merge_mode: str = "cow",
         mor_autocompact_deltas: int | None = 16,
+        mor_del_deletefile_limit: int | None = None,
         day_partition: bool = False,
     ):
         if merge_mode not in ("cow", "mor", "mor-del"):
@@ -105,6 +106,11 @@ class CdcEngine:
         # deltas: fold them back into the base once this many delta commits
         # stack up (None = caller-driven compaction only)
         self.mor_autocompact_deltas = mor_autocompact_deltas
+        # mor-del minor-compaction policy (Iceberg rewrite-delete-files):
+        # once this many delete FILES accumulate, collapse them to one
+        # per-key entry set WITHOUT touching data files — the cheap
+        # between-folds maintenance step. None = caller-driven only.
+        self.mor_del_deletefile_limit = mor_del_deletefile_limit
         # SURVEY §4 partition spec at full width: days(ts) × bucket(conv_id).
         # The day axis prunes time-scoped analytics + retention; the bucket
         # axis prunes key-scoped merges. Off by default for tiny epochs
@@ -655,6 +661,7 @@ class CdcEngine:
             # log by maybe_autocompact itself; the return stays [] so no
             # caller mistakes the fold for an applied epoch.
             self.maybe_autocompact()
+            self.maybe_compact_deletes()
             return []
         if catchup and len(pending) > 1:
             out = [self.apply_epochs(pending)]
@@ -665,6 +672,12 @@ class CdcEngine:
         auto = self.maybe_autocompact()
         if auto is not None:
             out[-1]["autocompact"] = auto
+        # delete-side minor compaction AFTER the depth policy: a full fold
+        # already replaced the delete files with collapsed guards, making
+        # this a no-op in that case
+        mc = self.maybe_compact_deletes()
+        if mc is not None:
+            out[-1]["compact_deletes"] = mc
         return out
 
     def touched_convs(self, epochs: list[int]) -> DataFrame:
@@ -852,10 +865,13 @@ class CdcEngine:
             op = snap.summary.get("operation")
             if snap.summary.get("mode") == "mor_delta":
                 out.append(snap.summary)
-            elif op not in ("add_columns",):
+            elif op not in ("add_columns", "rewrite_deletes"):
                 # create/overwrite/replace_buckets rewrote (or seeded) the
-                # base — deltas below it are folded; metadata-only commits
-                # (add_columns) neither add nor fold deltas, keep walking
+                # base — deltas below it are folded. Commits that touch no
+                # data files (add_columns, the delete-side minor compaction)
+                # neither add nor fold deltas: keep walking — treating
+                # rewrite_deletes as a fold would both reset the apparent
+                # depth AND hide un-folded deltas from the eqdel validation.
                 break
             if snap.parent_id is None:
                 break
@@ -895,6 +911,62 @@ class CdcEngine:
         self._write_metrics(
             max(int(self.checkpoint()["last_epoch"]), 0), record
         )
+        return record
+
+    def compact_deletes(self) -> dict:
+        """Minor compaction of the mor-del delete side (Iceberg's
+        rewrite-delete-files action): collapse the accumulated equality-
+        delete files to ONE entry per key — the max LWW order tuple, its
+        real (lsn, op, ingest_epoch, _seq) preserved — leaving every data
+        file untouched. Read-equivalence is exact: the mask only ever
+        compares a row against the per-key MAX (the order is total), so
+        physically storing just that winner changes no result. Unlike
+        compact(), NO watermark pruning happens here: the superseded
+        versions these entries mask are still physically present in the
+        delta data files, so every key's guard is load-bearing regardless
+        of the redelivery contract. Cost scales with the delete set (keys +
+        3 ints), never the table."""
+        if self.merge_mode != "mor-del":
+            raise ValueError("compact_deletes requires merge_mode='mor-del'")
+        silver = self.silver
+        snap = silver.current_snapshot()
+        dels = silver.read_deletes(
+            self._mor_del_schema(snap), snapshot_id=snap.snapshot_id
+        )
+        collapsed = lww_dedup_agg(
+            dels,
+            key_cols=list(snap.key_cols),
+            extra_order_cols=[
+                F.coalesce(F.col("ingest_epoch"), F.lit(-1)),
+                F.coalesce(F.col("_seq"), F.lit(-1)),
+            ],
+        )
+        cols = list(snap.key_cols) + ["lsn", "op", "ingest_epoch", "_seq"]
+        nxt = silver.rewrite_delete_files(collapsed.select(*cols), cols)
+        return {
+            "snapshot_id": nxt.snapshot_id,
+            "delete_files_before": len(snap.delete_files),
+            "delete_files_after": len(nxt.delete_files),
+        }
+
+    def maybe_compact_deletes(self) -> dict | None:
+        """Run the delete-side minor compaction once the delete FILE count
+        crosses the policy limit. Sits off the apply path like
+        maybe_autocompact; a crash mid-rewrite loses nothing (the next read
+        resolves the same mask from the old files)."""
+        if self.merge_mode != "mor-del" or self.mor_del_deletefile_limit is None:
+            return None
+        snap = self.silver.current_snapshot()
+        if len(snap.delete_files) < self.mor_del_deletefile_limit:
+            return None
+        t0 = time.time()
+        info = self.compact_deletes()
+        record = {
+            "compact_deletes": True,
+            **info,
+            "wall_sec": round(time.time() - t0, 2),
+        }
+        self._write_metrics(max(int(self.checkpoint()["last_epoch"]), 0), record)
         return record
 
     def compact(self, watermark_lsn: int | None = None) -> dict:

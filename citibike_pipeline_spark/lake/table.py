@@ -644,6 +644,29 @@ class LakeTable:
         self._commit(nxt)
         return nxt
 
+    def rewrite_delete_files(
+        self,
+        deletes: DataFrame,
+        delete_cols: list[str],
+        summary: dict[str, Any] | None = None,
+    ) -> Snapshot:
+        """Minor compaction of the equality-delete side (Iceberg's
+        rewrite-delete-files maintenance action): every data file is carried
+        forward untouched; the accumulated delete files are atomically
+        replaced by ``deletes`` (the caller passes the per-key collapsed
+        mask, ``_seq`` values preserved). Cost scales with the delete set,
+        never the table — the between-folds maintenance step that bounds
+        mor-del read cost without paying a base rewrite."""
+        snap = self.current_snapshot()
+        new_deletes = self._write_delete_files(deletes, delete_cols)
+        nxt = snap.child(
+            snap.files,
+            {"operation": "rewrite_deletes", **(summary or {})},
+            delete_files=new_deletes,
+        )
+        self._commit(nxt)
+        return nxt
+
     def replace_buckets(
         self, df: DataFrame, buckets: list[int], summary: dict[str, Any] | None = None
     ) -> Snapshot:

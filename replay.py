@@ -38,6 +38,10 @@ def main() -> None:
                          "delta append with read-time LWW resolve; mor-del = "
                          "merge-on-read with equality-delete files (Iceberg v2 "
                          "shape, read-time anti-join mask instead of re-aggregate)")
+    ap.add_argument("--deletefile-limit", type=int, default=None,
+                    help="mor-del only: run the delete-side minor compaction "
+                         "(Iceberg rewrite-delete-files) when this many delete "
+                         "files accumulate; default off")
     ap.add_argument("--write-salt", type=int, default=4,
                     help="hot-bucket writer spread (see BENCH/skew_ab.py for "
                          "when this pays; 1 disables salting)")
@@ -82,6 +86,7 @@ def main() -> None:
         return CdcEngine(
             spark, args.warehouse, n_buckets=args.n_buckets,
             merge_mode=args.merge_mode, write_salt=args.write_salt,
+            mor_del_deletefile_limit=args.deletefile_limit,
             day_partition=args.day_partition,
         )
 

@@ -261,3 +261,68 @@ def test_mor_del_refuses_mor_written_deltas(spark, tmp_path):
     # table: nothing left for the delete mask to miss)
     eng.compact()
     assert eng2.silver_view().count() > 0
+
+
+def test_mor_del_compact_deletes_is_read_equivalent(spark, tmp_path):
+    """The delete-side minor compaction (Iceberg rewrite-delete-files):
+    collapses the accumulated delete files to one per-key max-tuple entry
+    set, data files untouched. Read results must be bit-identical, the
+    delta depth must NOT reset (no data fold happened), and a stale
+    redelivery landing AFTER the rewrite must still be masked."""
+    eng = CdcEngine(spark, str(tmp_path / "wh_mdcd"), n_buckets=4,
+                    write_salt=2, merge_mode="mor-del",
+                    mor_autocompact_deltas=None)
+    eng.init_tables()
+    for e in range(CFG.n_epochs):
+        eng.ingest_epoch_pandas(generate_epoch(CFG, e), e)
+    eng.replay(catchup=False)
+    want = silver_pdf(eng)
+    depth = eng.mor_delta_depth()
+    before = eng.silver.current_snapshot().delete_files
+    assert depth > 0 and len(before) > 1
+
+    info = eng.compact_deletes()
+    assert info["delete_files_after"] < info["delete_files_before"]
+    # un-folded deltas stay visible to the depth walk and eqdel validation
+    assert eng.mor_delta_depth() == depth
+    pd.testing.assert_frame_equal(silver_pdf(eng), want)
+
+    # stale redelivery after the rewrite: the collapsed per-key guard (its
+    # real lsn/_seq preserved) must still mask it
+    key = want.iloc[0]
+    assert key.lsn > 1
+    e = CFG.n_epochs
+    stale = pd.DataFrame(
+        {
+            "lsn": [int(key.lsn) - 1], "op": ["U"], "conv_id": [key.conv_id],
+            "turn_idx": [int(key.turn_idx)], "role": ["user"],
+            "text": ["stale redelivery"], "tool": [None],
+            "ts": pd.to_datetime(["2024-06-01 10:00:00"]),
+            "schema_version": [2], "partition_id": [0], "checkpoint_epoch": [e],
+        }
+    )
+    eng.ingest_epoch_pandas(stale, e)
+    eng.replay(catchup=False)
+    got = eng.silver_view().filter(
+        f"conv_id = '{key.conv_id}' AND turn_idx = {int(key.turn_idx)}"
+    ).collect()
+    assert len(got) == 1 and got[0].lsn == key.lsn
+    pd.testing.assert_frame_equal(silver_pdf(eng), want)
+
+
+def test_mor_del_deletefile_limit_policy(spark, tmp_path):
+    """replay() housekeeping runs the minor compaction once the delete file
+    count crosses the policy limit, keeping the file count bounded while
+    parity holds and the delta depth keeps accumulating (no data fold)."""
+    eng = CdcEngine(spark, str(tmp_path / "wh_mdpol"), n_buckets=4,
+                    write_salt=2, merge_mode="mor-del",
+                    mor_autocompact_deltas=None, mor_del_deletefile_limit=6)
+    eng.init_tables()
+    for e in range(CFG.n_epochs):
+        eng.ingest_epoch_pandas(generate_epoch(CFG, e), e)
+        eng.replay(catchup=False)
+    snap = eng.silver.current_snapshot()
+    assert len(snap.delete_files) <= 6 + 4  # bounded: limit + one commit's files
+    assert eng.mor_delta_depth() == CFG.n_epochs
+    assert any("compact_deletes" in m for m in eng.metrics())
+    pd.testing.assert_frame_equal(silver_pdf(eng), oracle_pdf())
