@@ -888,7 +888,10 @@ def e09_kmeans_centroids(
         ),
         6,
     )
-    return cdf.join(counts, "cluster_id", "left").select(
+    # counts is k ≈ sqrt(n) rows of (cid, count) — broadcast-sized at any
+    # corpus scale; without the hint the k-row x k-row join plans as a
+    # SortMergeJoin (two exchanges + sorts for 22 rows at the gate corpus)
+    return cdf.join(F.broadcast(counts), "cluster_id", "left").select(
         "cluster_id",
         F.coalesce("n_vecs", F.lit(0)).alias("n_vecs"),
         norm.alias("centroid_norm"),
