@@ -17,6 +17,7 @@ from .textops import TEXTOPS, TEXTOPS_ADAPTIVE_SQL
 from .embeddings import EMBEDDINGS, EMBEDDINGS_ADAPTIVE_SQL
 from .multimodal import MULTIMODAL
 from .flow import FLOW
+from .cdcops import CDCOPS
 
 
 @dataclass(frozen=True)
@@ -27,7 +28,7 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {
     name: QuerySpec(fn, sql)
-    for group in (RELATIONAL, ADVANCED, TEXTOPS, EMBEDDINGS, MULTIMODAL, FLOW)
+    for group in (RELATIONAL, ADVANCED, TEXTOPS, EMBEDDINGS, MULTIMODAL, FLOW, CDCOPS)
     for name, (fn, sql) in group.items()
 }
 

@@ -1150,6 +1150,203 @@ SELECT doc_id, lang, source, sample_rank FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# d15: structural quality rules — the Gopher/C4 family of heuristics
+# (Rae et al. 2021 appendix A1.1; Raffel et al. 2020 §2.2): duplicate-line
+# fraction, bullet-line fraction, ellipsis-line fraction, symbol-to-word
+# ratio, mean word length bounds, minimum word count. Complements d02/d13
+# (token/stopword quality score) with the LINE-structure rules those can't
+# see. All metrics are built-in array/regex expressions — JVM-side, zero
+# shuffle, scan-partition parallel at any scale.
+#
+# The organic corpus is single-line prose, so every structural rule would
+# trivially pass; planted cohorts (the d12/d13 pattern) give each rule a
+# provably-firing fail path, and the output hash pins that both engines
+# dropped exactly the planted rows for exactly the same reasons.
+# --------------------------------------------------------------------------
+
+_D15_DUP_LINES = "\nsame line again\nsame line again\nsame line again"
+_D15_BULLETS = "\n- first point\n- second point\n- third point"
+_D15_SYMBOLS = "\n### $$$ %% @@ ##"
+_D15_ELLIPSIS = "\ntrailing thought...\nanother thought..."
+
+
+def _d15_planted_text():
+    d = F.col("doc_id")
+    return (
+        F.when(d % 25 == 0, F.concat("text", F.lit(_D15_DUP_LINES)))
+        .when(d % 25 == 7, F.concat("text", F.lit(_D15_BULLETS)))
+        .when(d % 25 == 13, F.concat("text", F.lit(_D15_SYMBOLS)))
+        .when(d % 25 == 19, F.concat("text", F.lit(_D15_ELLIPSIS)))
+        .otherwise(F.col("text"))
+    )
+
+
+def d15_quality_rules(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents").select("doc_id", _d15_planted_text().alias("t"))
+    lines = F.split("t", "\n")
+    words = F.split("t", "[ \\n]")
+    n_lines = F.size(lines)
+    n_words = F.size(words)
+    mean_wl = F.round(
+        F.aggregate(words, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+        .cast("double") / n_words,
+        6,
+    )
+    dup_line = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n_lines, 6
+    )
+    bullet = F.round(
+        F.size(F.filter(lines, lambda l: l.substr(F.lit(1), F.lit(2)) == "- "))
+        .cast("double") / n_lines,
+        6,
+    )
+    ellipsis = F.round(
+        F.size(F.filter(lines, lambda l: l.endswith("..."))).cast("double") / n_lines,
+        6,
+    )
+    symbol = F.round(F.regexp_count("t", F.lit("[#$%@]")).cast("double") / n_words, 6)
+    flagged = docs.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        dup_line.alias("dup_line_frac"),
+        bullet.alias("bullet_frac"),
+        ellipsis.alias("ellipsis_frac"),
+        symbol.alias("symbol_word_ratio"),
+    )
+    keep = (
+        (F.col("n_words") >= 10)
+        & (F.col("dup_line_frac") <= 0.3)
+        & (F.col("bullet_frac") <= 0.5)
+        & (F.col("ellipsis_frac") <= 0.3)
+        & (F.col("symbol_word_ratio") <= 0.05)
+        & (F.col("mean_word_len") >= 2.0)
+        & (F.col("mean_word_len") <= 12.0)
+    )
+    return flagged.withColumn("keep", F.when(keep, 1).otherwise(0))
+
+
+D15_SQL = r"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 25 = 0
+              THEN text || chr(10) || 'same line again' || chr(10) || 'same line again' || chr(10) || 'same line again'
+              WHEN doc_id % 25 = 7
+              THEN text || chr(10) || '- first point' || chr(10) || '- second point' || chr(10) || '- third point'
+              WHEN doc_id % 25 = 13
+              THEN text || chr(10) || '### $$$ %% @@ ##'
+              WHEN doc_id % 25 = 19
+              THEN text || chr(10) || 'trailing thought...' || chr(10) || 'another thought...'
+              ELSE text END AS t
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(string_split(t, chr(10))) AS n_lines,
+         len(regexp_split_to_array(t, '[ \n]')) AS n_words,
+         ROUND(CAST(list_sum(list_transform(regexp_split_to_array(t, '[ \n]'), w -> length(w))) AS DOUBLE)
+               / len(regexp_split_to_array(t, '[ \n]')), 6) AS mean_word_len,
+         ROUND(1.0 - CAST(len(list_distinct(string_split(t, chr(10)))) AS DOUBLE)
+               / len(string_split(t, chr(10))), 6) AS dup_line_frac,
+         ROUND(CAST(len(list_filter(string_split(t, chr(10)), l -> substr(l,1,2) = '- ')) AS DOUBLE)
+               / len(string_split(t, chr(10))), 6) AS bullet_frac,
+         ROUND(CAST(len(list_filter(string_split(t, chr(10)), l -> right(l,3) = '...')) AS DOUBLE)
+               / len(string_split(t, chr(10))), 6) AS ellipsis_frac,
+         ROUND(CAST(len(regexp_extract_all(t, '[#$%@]')) AS DOUBLE)
+               / len(regexp_split_to_array(t, '[ \n]')), 6) AS symbol_word_ratio
+  FROM planted
+)
+SELECT *,
+       CASE WHEN n_words >= 10 AND dup_line_frac <= 0.3 AND bullet_frac <= 0.5
+             AND ellipsis_frac <= 0.3 AND symbol_word_ratio <= 0.05
+             AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+            THEN 1 ELSE 0 END AS keep
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# d16: incremental cross-snapshot dedup — the CDC shape of exact dedup: an
+# incoming document batch is deduped WITHIN itself (canonical = min doc_id
+# per content hash, the d01/d13 idiom) and then AGAINST the already-ingested
+# corpus (hash anti-join), instead of re-deduping the whole corpus per batch.
+# ≙ silver_trips.sql:2-3,37 (incremental unique-key materialization) applied
+# to the content-hash domain of the dedup ladder (silver_stations.sql:46-63).
+#
+# Scale shape: one shuffle on content_md5 for the in-batch collapse, one
+# hash join vs the corpus-hash index. At 100 TB the corpus side is a
+# md5-bucketed index table, making the join bucket-local; the incoming batch
+# (<< corpus) never forces a corpus rewrite — this is exactly why the
+# incremental path exists.
+#
+# Planted cohorts (organic texts are globally unique, so neither drop path
+# would otherwise fire): a copy of every 20th BASE doc inside the batch
+# (must come out status='dup_vs_base') and an in-batch shadow copy of every
+# 35th incoming doc (must be collapsed by the canonical min-doc_id rule and
+# appear only once).
+# --------------------------------------------------------------------------
+
+D16_ID_XBATCH = 7_000_000
+D16_ID_INBATCH = 8_000_000
+
+
+def d16_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 5 != 4)
+    incoming = docs.filter(F.col("doc_id") % 5 == 4)
+    xbatch = base.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + D16_ID_XBATCH).alias("doc_id"), "text"
+    )
+    inbatch = incoming.filter(F.col("doc_id") % 35 == 4).select(
+        (F.col("doc_id") + D16_ID_INBATCH).alias("doc_id"), "text"
+    )
+    batch = incoming.unionByName(xbatch).unionByName(inbatch).select(
+        "doc_id", F.md5("text").alias("content_md5")
+    )
+    canon = batch.groupBy("content_md5").agg(F.min("doc_id").alias("doc_id"))
+    base_hashes = base.select(F.md5("text").alias("content_md5")).distinct()
+    return (
+        canon.join(
+            base_hashes.withColumn("_hit", F.lit(1)), "content_md5", "left"
+        )
+        .select(
+            "doc_id",
+            "content_md5",
+            F.when(F.col("_hit").isNotNull(), F.lit("dup_vs_base"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+
+
+D16_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4
+),
+incoming AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4
+),
+batch AS (
+  SELECT doc_id, md5(text) AS content_md5 FROM incoming
+  UNION ALL
+  SELECT doc_id + {D16_ID_XBATCH}, md5(text) FROM base WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + {D16_ID_INBATCH}, md5(text) FROM incoming WHERE doc_id % 35 = 4
+),
+canon AS (
+  SELECT content_md5, MIN(doc_id) AS doc_id FROM batch GROUP BY content_md5
+),
+base_hashes AS (
+  SELECT DISTINCT md5(text) AS content_md5 FROM base
+)
+SELECT canon.doc_id, canon.content_md5,
+       CASE WHEN base_hashes.content_md5 IS NOT NULL THEN 'dup_vs_base' ELSE 'new' END AS status
+FROM canon LEFT JOIN base_hashes ON canon.content_md5 = base_hashes.content_md5
+"""
+
+
 TEXTOPS = {
     "d01_exact_dedup": (d01_exact_dedup, D01_SQL),
     "d02_token_stats": (d02_token_stats, D02_SQL),
@@ -1165,6 +1362,8 @@ TEXTOPS = {
     "d12_pii_scrub": (d12_pii_scrub, D12_SQL),
     "d13_training_corpus": (d13_training_corpus, D13_SQL),
     "d14_lang_balanced_sample": (d14_lang_balanced_sample, D14_SQL),
+    "d15_quality_rules": (d15_quality_rules, D15_SQL),
+    "d16_incremental_dedup": (d16_incremental_dedup, D16_SQL),
 }
 
 # Corpus-adaptive oracle renderers (r4 verdict #1): the static *_SQL strings

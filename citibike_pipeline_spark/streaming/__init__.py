@@ -2,5 +2,6 @@
 
 from .tail import StreamingTail
 from .stateful import StreamingConvProgress
+from .scd2 import StreamingScd2
 
-__all__ = ["StreamingTail", "StreamingConvProgress"]
+__all__ = ["StreamingTail", "StreamingConvProgress", "StreamingScd2"]

@@ -1,0 +1,219 @@
+"""Streaming SCD2 maintenance: turn-edit history with validity intervals.
+
+The batch operator q34 (operators/cdcops.py) builds a type-2 SCD in one
+pass; this is its continuously-maintained streaming counterpart over the
+CDC WAL. Per (conv_id, turn_idx), every U event OPENS a new version of the
+turn and CLOSES the previous one; a D event closes without opening. The
+maintained table holds one row per version with [valid_from, valid_to)
+bounds (lsn and timestamp), an is_current flag, and the opening event's
+payload — i.e. the full edit history of every turn, queryable at any time
+while the stream runs. I and U both open versions (an insert opens version
+1; a re-insert after a delete opens the next); D closes without opening.
+
+Versioning axis: LSN, the WAL's total order — matching the engine's
+LWW-on-lsn merge semantics (cdc/dedup.py), not wall-clock ts (q34's axis;
+the events table there has no lsn). Late events whose lsn is below the
+key's high-water mark are DROPPED and counted (`n_late_dropped`): the
+sanctioned repair path for out-of-order history is the batch rebuild, the
+same contract as watermarked aggregates. The WAL tail delivers epoch files
+in order, so in practice this counter stays 0 (asserted in tests).
+
+State per key: the high-water lsn, the version counter, and the currently
+open version (lsn/ts/role) — O(1) per key regardless of history length;
+closed versions live only in the lake table. Each micro-batch emits every
+version it touched (opened, closed, or both), and the sink MERGEs them by
+(conv_id, turn_idx, version_n): a version that closes in a later batch
+re-emits the same key with valid_to filled, and the source-wins merge
+overwrites the open row. Restart resumes from the state-store checkpoint
+exactly (same contract as StreamingConvProgress).
+
+Scale shape: state is hash-partitioned by (conv_id, turn_idx); each
+executor holds only its keys; per-batch work per key is vectorized pandas
+over the key's few events. The sink reuses the engine's bucket-pruned
+MERGE. Reference analog: none (reference is batch-only) — this extends the
+§2.10 streaming surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+from ..cdc.engine import CdcEngine
+from ..lake import merge_into
+
+SCD2_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("turn_idx", IntegerType(), False),
+        StructField("version_n", LongType(), False),
+        StructField("opened_lsn", LongType(), True),
+        StructField("closed_lsn", LongType(), True),
+        StructField("valid_from", TimestampNTZType(), True),
+        StructField("valid_to", TimestampNTZType(), True),
+        StructField("role", StringType(), True),
+        StructField("is_current", IntegerType(), True),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("last_lsn", LongType(), True),      # high-water mark
+        StructField("n_versions", LongType(), True),    # version counter
+        StructField("n_late_dropped", LongType(), True),
+        # currently open version (-1 lsn = none): enough to re-emit its row
+        # with valid_to filled when a later batch closes it
+        StructField("open_lsn", LongType(), True),
+        StructField("open_ts_us", LongType(), True),
+        StructField("open_role", StringType(), True),
+    ]
+)
+
+
+def _us(ts) -> int:
+    return int(pd.Timestamp(ts).value // 1000)
+
+
+def _ts(us) -> pd.Timestamp | None:
+    return pd.Timestamp(int(us) * 1000) if us is not None and us >= 0 else None
+
+
+def _transition(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold one key's batch events (lsn-sorted) into the version chain."""
+    conv_id, turn_idx = key
+    last_lsn, n_versions, n_late, open_lsn, open_ts_us, open_role = (
+        state.get if state.exists else (-1, 0, 0, -1, -1, None)
+    )
+    ev = pd.concat(list(pdfs), ignore_index=True)
+    if len(ev):
+        # the engine's documented total order (SURVEY §7.3, cdc/dedup.py):
+        # (lsn, OP_RANK D=0<I=1<U=2); redelivered same-lsn duplicates
+        # collapse to the greatest (identical payloads by the WAL contract,
+        # conflicting ops resolve U > I > D)
+        ev["_opr"] = ev["op"].map({"D": 0, "I": 1, "U": 2})
+        ev = (
+            ev.sort_values(["lsn", "_opr"], kind="mergesort")
+            .drop_duplicates("lsn", keep="last")
+            .reset_index(drop=True)
+        )
+        late = int((ev["lsn"] <= last_lsn).sum())
+        if late:
+            n_late += late
+            ev = ev[ev["lsn"] > last_lsn].reset_index(drop=True)
+
+    out: dict[str, list] = {f.name: [] for f in SCD2_SCHEMA.fields}
+
+    def emit(version_n, opened_lsn, closed_lsn, from_us, to_us, role):
+        out["conv_id"].append(conv_id)
+        out["turn_idx"].append(turn_idx)
+        out["version_n"].append(version_n)
+        out["opened_lsn"].append(opened_lsn)
+        out["closed_lsn"].append(closed_lsn)
+        out["valid_from"].append(_ts(from_us))
+        out["valid_to"].append(_ts(to_us))
+        out["role"].append(role)
+        out["is_current"].append(1 if closed_lsn is None else 0)
+
+    if len(ev):
+        # the previously open version closes at the first new event
+        if open_lsn >= 0:
+            first = ev.iloc[0]
+            emit(n_versions, open_lsn, int(first["lsn"]), open_ts_us,
+                 _us(first["ts"]), open_role)
+            open_lsn = -1
+        # vectorized chain: each event's closer is simply the next event
+        ev["nextlsn"] = ev["lsn"].shift(-1)
+        ev["nextts"] = ev["ts"].shift(-1)
+        for row in ev.itertuples(index=False):
+            if row.op == "D":
+                continue  # closes the predecessor (handled as its closer)
+            # I and U both open a version (insert = version 1's opener,
+            # re-insert after delete starts a new version)
+            n_versions += 1
+            closed = None if pd.isna(row.nextlsn) else int(row.nextlsn)
+            emit(
+                n_versions, int(row.lsn), closed, _us(row.ts),
+                None if pd.isna(row.nextts) else _us(row.nextts), row.role,
+            )
+            if closed is None:
+                open_lsn, open_ts_us, open_role = int(row.lsn), _us(row.ts), row.role
+        last_lsn = int(ev["lsn"].iloc[-1])
+
+    state.update((last_lsn, n_versions, n_late, open_lsn,
+                  open_ts_us if open_lsn >= 0 else -1,
+                  open_role if open_lsn >= 0 else None))
+    yield pd.DataFrame(out)
+
+
+class StreamingScd2:
+    """WAL tail -> stateful per-turn version chains -> lake upsert."""
+
+    TABLE = "gold.turn_history"
+
+    def __init__(self, engine: CdcEngine, max_files_per_trigger: int | None = None):
+        self.engine = engine
+        self.max_files_per_trigger = max_files_per_trigger
+        self._ckpt = f"{engine.warehouse}/_meta/turn_history_checkpoint"
+        if not engine.catalog.table_exists(self.TABLE):
+            engine.catalog.create_table(
+                self.TABLE,
+                SCD2_SCHEMA,
+                key_cols=["conv_id", "turn_idx", "version_n"],
+                bucket_cols=["conv_id"],
+                n_buckets=8,
+                write_salt=1,
+            )
+
+    def _sink(self, batch_df: DataFrame, batch_id: int) -> None:
+        table = self.engine.catalog.load_table(self.TABLE)
+        # each version row only ever gains information (valid_to fills in,
+        # is_current drops to 0), so source-wins MERGE is idempotent under
+        # batch re-delivery
+        changes = batch_df.withColumn("op", F.lit("U"))
+        merge_into(table, changes, summary={"stream_batch": batch_id})
+
+    def run_available(self) -> None:
+        spark = self.engine.spark
+        bronze = self.engine.bronze
+        reader = spark.readStream.schema(bronze.schema()).option(
+            "recursiveFileLookup", "true"
+        )
+        if self.max_files_per_trigger:
+            # bounds per-batch work AND (in tests) forces version chains to
+            # span micro-batches, exercising the cross-batch closure path
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        events = reader.parquet(bronze.path).select(
+            "conv_id", "turn_idx", "lsn", "op", "ts", "role"
+        )
+        updates = events.groupBy("conv_id", "turn_idx").applyInPandasWithState(
+            _transition,
+            outputStructType=SCD2_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            updates.writeStream.foreachBatch(self._sink)
+            .option("checkpointLocation", self._ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def history(self) -> DataFrame:
+        return self.engine.catalog.load_table(self.TABLE).read()

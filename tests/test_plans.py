@@ -185,3 +185,33 @@ def test_e09_centroids_travel_as_broadcast_data(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan, plan[-2000:]
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def _physical(plan: str) -> str:
+    return plan[plan.index("== Physical Plan =="):]
+
+
+def test_q34_scd2_single_exchange(spark, sf_dir):
+    """The SCD2 build must share ONE hash exchange (on user_id) between the
+    LWW tie window and the interval window — the textbook two-window form
+    shuffles twice (once on (user_id, ts), once on user_id), which doubles
+    the shuffle of the whole dimension build at scale."""
+    plan = _physical(_plan(entrymod.queries()["q34_scd2_history"](spark, sf_dir)))
+    assert plan.count("+- Exchange") == 1, plan
+    assert plan.count("Window") >= 2
+
+
+def test_q35_asof_single_exchange_no_join(spark, sf_dir):
+    """The as-of enrichment is union-and-window: exactly one hash exchange
+    on the entity key and NO join operator at all — no range explode, no
+    broadcast of a state side that is fact-sized at 100 TB."""
+    plan = _physical(_plan(entrymod.queries()["q35_asof_enrich"](spark, sf_dir)))
+    assert plan.count("+- Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_d15_zero_shuffle(spark, sf_dir):
+    """Structural quality rules are pure per-row expressions: the plan must
+    be a single scan stage with no exchange anywhere."""
+    plan = _physical(_plan(entrymod.queries()["d15_quality_rules"](spark, sf_dir)))
+    assert "Exchange" not in plan, plan
