@@ -19,7 +19,7 @@ not corpus size; the quadratic step only happens within buckets.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .io import T
@@ -1347,6 +1347,93 @@ FROM canon LEFT JOIN base_hashes ON canon.content_md5 = base_hashes.content_md5
 """
 
 
+# --------------------------------------------------------------------------
+# d17: global line-level dedup — the C4 boilerplate rule (Raffel et al.
+# 2020 §2.2: any line occurring more than once in the corpus is kept only
+# once): lines are deduped ACROSS documents, first occurrence wins
+# (min (doc_id, pos)), and each document is reassembled from its surviving
+# lines. Complements d01 (whole-doc) and d15 (within-doc structure): this
+# is the cross-document boilerplate-removal step between them.
+#
+# Scale shape: posexplode is narrow; ONE hash shuffle on the line for the
+# first-occurrence window; ONE shuffle on doc_id for reassembly. No join —
+# the keep decision is a window min over the line partition. At 100 TB the
+# line-hash partitioning is the same layout C4's own implementation uses;
+# boilerplate lines are the hot keys and collapse map-side via the window's
+# rank pushdown.
+#
+# Planted cohorts (organic docs are single-line and globally unique, so no
+# line would ever repeat): the two classic boilerplate lines appended to
+# every 10th / 15th doc; doc_ids divisible by 30 carry both. The first
+# carrier (doc_id 0) keeps them; every later carrier must lose them.
+# --------------------------------------------------------------------------
+
+_D17_BOILER_A = "subscribe to our newsletter today"
+_D17_BOILER_B = "all rights reserved"
+
+
+def d17_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.col("doc_id")
+    planted = T(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 10 == 0, F.lit("\n" + _D17_BOILER_A)).otherwise(F.lit("")),
+            F.when(d % 15 == 0, F.lit("\n" + _D17_BOILER_B)).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    lines = planted.select(
+        "doc_id", F.posexplode(F.split("t", "\n")).alias("pos", "line")
+    ).withColumn("rank", F.col("doc_id") * 100000 + F.col("pos"))
+    w = Window.partitionBy("line")
+    kept = lines.withColumn("_min", F.min("rank").over(w)).filter(
+        F.col("rank") == F.col("_min")
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                        lambda s: s["line"],
+                    ),
+                    "\n",
+                )
+            ).alias("clean_md5"),
+        )
+    )
+
+
+D17_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 10 = 0 THEN chr(10) || '{_D17_BOILER_A}' ELSE '' END
+         || CASE WHEN doc_id % 15 = 0 THEN chr(10) || '{_D17_BOILER_B}' ELSE '' END AS t
+  FROM documents
+),
+lines AS (
+  -- parallel unnests zip (the Postgres rule): (line, pos) pairs 0-based,
+  -- matching Spark's posexplode
+  SELECT doc_id,
+         unnest(range(len(string_split(t, chr(10))))) AS pos,
+         unnest(string_split(t, chr(10))) AS line,
+         doc_id * 100000 + unnest(range(len(string_split(t, chr(10))))) AS rank
+  FROM planted
+),
+kept AS (
+  SELECT * FROM (
+    SELECT *, MIN(rank) OVER (PARTITION BY line) AS _min FROM lines
+  ) WHERE rank = _min
+)
+SELECT doc_id, COUNT(*) AS n_kept,
+       md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
+FROM kept GROUP BY doc_id
+"""
+
+
 TEXTOPS = {
     "d01_exact_dedup": (d01_exact_dedup, D01_SQL),
     "d02_token_stats": (d02_token_stats, D02_SQL),
@@ -1364,6 +1451,7 @@ TEXTOPS = {
     "d14_lang_balanced_sample": (d14_lang_balanced_sample, D14_SQL),
     "d15_quality_rules": (d15_quality_rules, D15_SQL),
     "d16_incremental_dedup": (d16_incremental_dedup, D16_SQL),
+    "d17_line_dedup": (d17_line_dedup, D17_SQL),
 }
 
 # Corpus-adaptive oracle renderers (r4 verdict #1): the static *_SQL strings

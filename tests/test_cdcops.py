@@ -143,3 +143,25 @@ def test_d16_drop_paths(spark, sf_dir):
         assert out.filter(F.col("status") == "new").count() == n_incoming
     finally:
         out.unpersist()
+
+
+def test_d17_first_occurrence_wins(spark, sf_dir):
+    from citibike_pipeline_spark.operators.textops import d17_line_dedup
+
+    out = d17_line_dedup(spark, sf_dir).cache()
+    try:
+        docs = T(spark, sf_dir, "documents")
+        assert out.count() == docs.count()  # no doc vanishes entirely
+        # doc 0 carries both boilerplate lines and is their first
+        # occurrence: it keeps all 3 lines; every later carrier keeps 1
+        assert out.filter(F.col("doc_id") == 0).first().n_kept == 3
+        later_carriers = out.filter(
+            (F.col("doc_id") % 10 == 0) & (F.col("doc_id") > 0)
+        )
+        assert later_carriers.filter(F.col("n_kept") != 1).count() == 0
+        organic = out.filter(
+            (F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 15 != 0)
+        )
+        assert organic.filter(F.col("n_kept") != 1).count() == 0
+    finally:
+        out.unpersist()

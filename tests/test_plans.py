@@ -215,3 +215,12 @@ def test_d15_zero_shuffle(spark, sf_dir):
     be a single scan stage with no exchange anywhere."""
     plan = _physical(_plan(entrymod.queries()["d15_quality_rules"](spark, sf_dir)))
     assert "Exchange" not in plan, plan
+
+
+def test_d17_no_join_two_exchanges(spark, sf_dir):
+    """Global line dedup: the keep decision is a window min over the line
+    partition (no join back), so the plan is explode -> ONE exchange on the
+    line -> ONE exchange on doc_id for reassembly."""
+    plan = _physical(_plan(entrymod.queries()["d17_line_dedup"](spark, sf_dir)))
+    assert plan.count("+- Exchange") == 2, plan
+    assert "Join" not in plan, plan
