@@ -26,6 +26,7 @@ from .sizing import (
     auto_kmeans_k,
     auto_lsh_planes,
     auto_nprobe,
+    auto_pq_ksub,
 )
 
 DIMS = 64
@@ -1094,7 +1095,349 @@ EMBEDDINGS_ADAPTIVE_SQL = {
         counts["n_vecs"],
         auto_nprobe(auto_kmeans_k(counts["n_vecs"])),
     ),
+    "e11_pq_codebooks": lambda counts: _e11_sql(
+        auto_pq_ksub(counts["n_vecs"]), counts["n_vecs"]
+    ),
+    "e12_pq_adc_topk": lambda counts: _e12_sql(
+        auto_pq_ksub(counts["n_vecs"]), counts["n_vecs"]
+    ),
 }
+
+# --------------------------------------------------------------------------
+# e11/e12: product quantization — the fine-compression half of the standard
+# large-scale ANN stack (Jégou et al. 2011; the FAISS IVF-PQ layout — e09's
+# coarse quantizer picks the lists, PQ compresses the residual scan). The
+# vector is split into PQ_M contiguous sub-blocks; each block trains its own
+# tiny k-means codebook (auto_pq_ksub ~ n^(1/3), 8 at the gate corpus, 256
+# at production scale = one byte per code); a vector is stored as PQ_M code
+# ids. e12 answers queries with Asymmetric Distance Computation: ONE small
+# distance table per (query, block, code) — |Q| x M x ksub rows, broadcast-
+# sized — and the corpus-side distance is a SUM of table lookups, never a
+# full-vector computation.
+#
+# Scale shape: the codes table is the only corpus-sized artifact (M ints
+# per vector vs DIMS floats — 16x compression at gate sizes, 64x at
+# 256-code bytes); ADC is codes ⋈ broadcast(dtable) + a decimal-exact
+# groupBy sum. No full-vector distance touches the corpus at query time.
+#
+# Determinism across engines (the e09 recipe, applied per block): stride
+# seeds, engine-side ROUND(·,6), DECIMAL(28,12) update sums, left-fold
+# index-ordered distances, (dist, cid) lexicographic argmin, empty clusters
+# keep their previous centroid; ADC block distances ROUND 6 then summed as
+# DECIMAL(18,6) (exact, order-independent) so the final sums hash-match.
+# --------------------------------------------------------------------------
+
+PQ_M = 4
+PQ_SUB = DIMS // PQ_M  # 16 dims per block
+PQ_ITERS = 2
+
+
+def _pq_blocks_df(spark: SparkSession, sf: str) -> DataFrame:
+    """(vec_id, block, e): the corpus exploded into per-block sub-vectors
+    (narrow, no shuffle)."""
+    entries = F.array(*[
+        F.struct(
+            F.lit(b).alias("block"),
+            F.transform(
+                F.slice("embedding", b * PQ_SUB + 1, PQ_SUB),
+                lambda x: x.cast("double"),
+            ).alias("e"),
+        )
+        for b in range(PQ_M)
+    ])
+    return (
+        T(spark, sf, "embeddings")
+        .select("vec_id", F.explode(entries).alias("be"))
+        .select("vec_id", "be.block", "be.e")
+    )
+
+
+def _pq_cents_frame(spark: SparkSession, cents: dict) -> DataFrame:
+    """All blocks' codebooks as ONE broadcastable row (the _cents_frame
+    idiom): array<struct<block, cid, c>> — constant plan shape, one codegen
+    for any (M, ksub)."""
+    return spark.createDataFrame(
+        [([(b, c, cents[(b, c)]) for (b, c) in sorted(cents)],)],
+        "cents: array<struct<block:int,cid:int,c:array<double>>>",
+    )
+
+
+def _pq_assign(cents_col, block_col):
+    """argmin code over THIS block's centroids — same (dist, cid) fold as
+    _data_assign_cid, over the block-filtered codebook array."""
+    mine = F.filter(cents_col, lambda ct: ct["block"] == block_col)
+
+    def step(acc, ct):
+        d = F.aggregate(
+            F.zip_with(F.col("e"), ct["c"], lambda x, cc: (x - cc) * (x - cc)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        return F.least(acc, F.struct(d.alias("dist"), ct["cid"].alias("cid")))
+
+    init = F.struct(F.lit(float("inf")).alias("dist"), F.lit(-1).alias("cid"))
+    return F.aggregate(mine, init, step)["cid"]
+
+
+_PQ_MEMO: dict[tuple, dict] = register_session_memo({})
+
+
+def _pq_fit(
+    spark: SparkSession, sf: str, ksub: int, iters: int = PQ_ITERS
+) -> dict:
+    """Per-block codebooks after ``iters`` deterministic Lloyd rounds:
+    dict (block, cid) -> components. ALL blocks train in the same jobs —
+    one assignment pass + one update aggregate per iteration regardless of
+    PQ_M (the block id is just another grouping column)."""
+    key = (spark.sparkContext.applicationId, sf, ksub, iters)
+    if key in _PQ_MEMO:
+        return _PQ_MEMO[key]
+    blocks = _pq_blocks_df(spark, sf)
+    n = _corpus_n(spark, sf)
+    stride = max(n // ksub, 1)
+    seeds = (
+        blocks.filter(
+            (F.col("vec_id") % stride == 0) & (F.col("vec_id") < ksub * stride)
+        )
+        .select(
+            "block",
+            (F.col("vec_id") / stride).cast("int").alias("cid"),
+            F.transform("e", lambda x: F.round(x, 6)).alias("c"),
+        )
+        .collect()
+    )
+    cents = {(r.block, r.cid): list(r.c) for r in seeds}
+    for _ in range(iters):
+        assign = blocks.crossJoin(
+            F.broadcast(_pq_cents_frame(spark, cents))
+        ).select(
+            "block", _pq_assign(F.col("cents"), F.col("block")).alias("cid"), "e"
+        )
+        upd = (
+            assign.select("block", "cid", F.posexplode("e").alias("dim", "v"))
+            .groupBy("block", "cid", "dim")
+            .agg(
+                F.round(
+                    F.sum(F.col("v").cast("decimal(28,12)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("cm")
+            )
+            .groupBy("block", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cm"))),
+                    lambda s: s["cm"],
+                ).alias("c")
+            )
+            .collect()
+        )
+        new = {(r.block, r.cid): list(r.c) for r in upd}
+        cents = {k2: new.get(k2, old) for k2, old in cents.items()}
+    _PQ_MEMO.clear()  # bound: one live fit per session
+    _PQ_MEMO[key] = cents
+    return cents
+
+
+def e11_pq_codebooks(
+    spark: SparkSession, sf: str, ksub: int | None = None, iters: int = PQ_ITERS
+) -> DataFrame:
+    if ksub is None:
+        ksub = auto_pq_ksub(_corpus_n(spark, sf))
+    cents = _pq_fit(spark, sf, ksub, iters)
+    counts = (
+        _pq_blocks_df(spark, sf)
+        .crossJoin(F.broadcast(_pq_cents_frame(spark, cents)))
+        .select("block", _pq_assign(F.col("cents"), F.col("block")).alias("code"))
+        .groupBy("block", "code")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+    cdf = spark.createDataFrame(
+        [(b, c, cents[(b, c)]) for (b, c) in sorted(cents)],
+        "block int, code int, c array<double>",
+    )
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.transform("c", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        ),
+        6,
+    )
+    return cdf.join(F.broadcast(counts), ["block", "code"], "left").select(
+        "block",
+        "code",
+        F.coalesce("n_vecs", F.lit(0)).alias("n_vecs"),
+        norm.alias("centroid_norm"),
+        F.round(F.element_at("c", 1), 6).alias("c0"),
+        F.round(F.element_at("c", 2), 6).alias("c1"),
+        F.round(F.element_at("c", 3), 6).alias("c2"),
+        F.round(F.element_at("c", 4), 6).alias("c3"),
+    )
+
+
+def e12_pq_adc_topk(
+    spark: SparkSession, sf: str, ksub: int | None = None, iters: int = PQ_ITERS
+) -> DataFrame:
+    if ksub is None:
+        ksub = auto_pq_ksub(_corpus_n(spark, sf))
+    cents = _pq_fit(spark, sf, ksub, iters)
+    blocks = _pq_blocks_df(spark, sf)
+    frame = _pq_cents_frame(spark, cents)
+    # corpus side: PQ codes only — M ints per vector
+    codes = blocks.crossJoin(F.broadcast(frame)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "block",
+        _pq_assign(F.col("cents"), F.col("block")).alias("cid"),
+    )
+    # ADC distance table: |Q| x M x ksub rows, broadcast-sized at any scale
+    sq = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("e"), F.col("ct.c"), lambda x, cc: (x - cc) * (x - cc)
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        6,
+    )
+    dtable = (
+        blocks.filter(F.col("vec_id") < N_QUERY)
+        .crossJoin(F.broadcast(frame))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "block",
+            "e",
+            F.explode(
+                F.filter(F.col("cents"), lambda ct: ct["block"] == F.col("block"))
+            ).alias("ct"),
+        )
+        .select("query_id", "block", F.col("ct.cid").alias("cid"), sq.alias("bd"))
+    )
+    scored = (
+        codes.join(F.broadcast(dtable), ["block", "cid"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.round(
+                F.sum(F.col("bd").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("adc_dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
+def _sql_sq_dist_n(e_expr: str, c_expr: str, ndims: int) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {ndims}), "
+        f"d -> ({e_expr}[d] - {c_expr}[d]) * ({e_expr}[d] - {c_expr}[d]))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _pq_cte_sql(ksub: int, n_vecs: int, iters: int = PQ_ITERS) -> str:
+    """Per-block unrolled Lloyd chains mirroring _pq_fit exactly; exposes
+    cent_b{b}_{iters} (cid, c) and assign_final_b{b} (vec_id, cid)."""
+    stride = max(n_vecs // ksub, 1)
+    parts = []
+    for b in range(PQ_M):
+        lo, hi = b * PQ_SUB + 1, (b + 1) * PQ_SUB
+        parts.append(
+            f"emb_b{b} AS MATERIALIZED (SELECT vec_id, "
+            f"list_transform(embedding[{lo}:{hi}], x -> CAST(x AS DOUBLE)) AS e "
+            f"FROM embeddings)"
+        )
+        parts.append(
+            f"cent_b{b}_0 AS MATERIALIZED ("
+            f"SELECT CAST(vec_id // {stride} AS INT) AS cid, "
+            f"list_transform(e, x -> ROUND(x, 6)) AS c FROM emb_b{b} "
+            f"WHERE vec_id % {stride} = 0 AND vec_id < {ksub * stride})"
+        )
+        assign_body = (
+            "SELECT vec_id, cid FROM ("
+            f"SELECT emb_b{b}.vec_id, c.cid, ROW_NUMBER() OVER ("
+            f"PARTITION BY emb_b{b}.vec_id ORDER BY "
+            + _sql_sq_dist_n(f"emb_b{b}.e", "c.c", PQ_SUB)
+            + f" ASC, c.cid) AS rn FROM emb_b{b} CROSS JOIN cent_b{b}_{{i}} c) "
+            "WHERE rn = 1"
+        )
+        for i in range(iters):
+            parts.append(
+                f"assign_b{b}_{i} AS MATERIALIZED ({assign_body.format(i=i)})"
+            )
+            parts.append(
+                f"cent_b{b}_{i + 1} AS MATERIALIZED ("
+                f"SELECT p.cid, CASE WHEN n.cid IS NULL THEN p.c ELSE n.c END AS c "
+                f"FROM cent_b{b}_{i} p LEFT JOIN ("
+                f"SELECT cid, list(cm ORDER BY dim) AS c FROM ("
+                f"SELECT a.cid, d.i - 1 AS dim, "
+                f"ROUND(CAST(SUM(CAST(emb_b{b}.e[d.i] AS DECIMAL(28,12))) AS DOUBLE) "
+                f"/ COUNT(*), 6) AS cm "
+                f"FROM assign_b{b}_{i} a JOIN emb_b{b} ON emb_b{b}.vec_id = a.vec_id, "
+                f"generate_series(1, {PQ_SUB}) d(i) "
+                f"GROUP BY a.cid, d.i) GROUP BY cid) n ON p.cid = n.cid)"
+            )
+        parts.append(
+            f"assign_final_b{b} AS MATERIALIZED ({assign_body.format(i=iters)})"
+        )
+    return ",\n".join(parts)
+
+
+def _e11_sql(ksub: int, n_vecs: int, iters: int = PQ_ITERS) -> str:
+    norm = (
+        "ROUND(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(p.c, x -> x * x)), (acc, x) -> acc + x)), 6)"
+    )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {b} AS block, p.cid AS code, COALESCE(n.n, 0) AS n_vecs, "
+        f"{norm} AS centroid_norm, "
+        f"ROUND(p.c[1], 6) AS c0, ROUND(p.c[2], 6) AS c1, "
+        f"ROUND(p.c[3], 6) AS c2, ROUND(p.c[4], 6) AS c3 "
+        f"FROM cent_b{b}_{iters} p LEFT JOIN ("
+        f"SELECT cid, COUNT(*) AS n FROM assign_final_b{b} GROUP BY cid) n "
+        f"ON p.cid = n.cid"
+        for b in range(PQ_M)
+    )
+    return f"WITH {_pq_cte_sql(ksub, n_vecs, iters)}\n{unions}"
+
+
+def _e12_sql(ksub: int, n_vecs: int, iters: int = PQ_ITERS) -> str:
+    unions = "\nUNION ALL\n".join(
+        f"SELECT q.vec_id AS query_id, af.vec_id AS neighbor_id, "
+        f"ROUND({_sql_sq_dist_n('q.e', 'c.c', PQ_SUB)}, 6) AS bd "
+        f"FROM emb_b{b} q "
+        f"CROSS JOIN cent_b{b}_{iters} c "
+        f"JOIN assign_final_b{b} af ON af.cid = c.cid "
+        f"WHERE q.vec_id < {N_QUERY} AND af.vec_id <> q.vec_id"
+        for b in range(PQ_M)
+    )
+    return f"""
+WITH {_pq_cte_sql(ksub, n_vecs, iters)},
+pairs AS (
+{unions}
+),
+adc AS (
+  SELECT query_id, neighbor_id,
+         ROUND(CAST(SUM(CAST(bd AS DECIMAL(18,6))) AS DOUBLE), 6) AS adc_dist
+  FROM pairs GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, rank, adc_dist FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id) AS rank
+  FROM adc
+) WHERE rank <= {TOP_K}
+"""
+
+
+E11_SQL = _e11_sql(auto_pq_ksub(GATE_N_VECS), GATE_N_VECS)
+E12_SQL = _e12_sql(auto_pq_ksub(GATE_N_VECS), GATE_N_VECS)
+
 
 EMBEDDINGS = {
     "e01_cosine_topk": (e01_cosine_topk, E01_SQL),
@@ -1107,4 +1450,6 @@ EMBEDDINGS = {
     "e08_centroid_outliers": (e08_centroid_outliers, E08_SQL),
     "e09_kmeans_centroids": (e09_kmeans_centroids, E09_SQL),
     "e10_kmeans_ivf_topk": (e10_kmeans_ivf_topk, E10_SQL),
+    "e11_pq_codebooks": (e11_pq_codebooks, E11_SQL),
+    "e12_pq_adc_topk": (e12_pq_adc_topk, E12_SQL),
 }

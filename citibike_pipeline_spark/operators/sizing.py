@@ -81,3 +81,10 @@ def auto_kmeans_k(n_vecs: int) -> int:
     list-ranking cost balance at sqrt. 500 -> 22; 10^10 -> 4096 (cap: the
     centroid table stays driver-collectable at k*d doubles)."""
     return min(4096, max(2, round(math.sqrt(max(n_vecs, 4)))))
+
+
+def auto_pq_ksub(n_vecs: int) -> int:
+    """Per-block PQ codebook size (e11/e12): ~n^(1/3), floored at 8 (the
+    gate anchor) and capped at 256 (the FAISS production norm — one byte
+    per block code). 500 -> 8 [anchor]; 5_000 -> 17; 10^10 -> 256."""
+    return min(256, max(8, round(n_vecs ** (1.0 / 3.0))))

@@ -224,3 +224,13 @@ def test_d17_no_join_two_exchanges(spark, sf_dir):
     plan = _physical(_plan(entrymod.queries()["d17_line_dedup"](spark, sf_dir)))
     assert plan.count("+- Exchange") == 2, plan
     assert "Join" not in plan, plan
+
+
+def test_e12_adc_broadcasts_distance_table(spark, sf_dir):
+    """ADC: the |Q| x M x ksub distance table must broadcast against the
+    corpus-side codes; a shuffle or sort-merge join here would move the
+    whole codes table per query batch."""
+    plan = _physical(_plan(entrymod.queries()["e12_pq_adc_topk"](spark, sf_dir)))
+    assert "BroadcastHashJoin" in plan, plan[-2000:]
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
