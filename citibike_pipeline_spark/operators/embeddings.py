@@ -1101,6 +1101,12 @@ EMBEDDINGS_ADAPTIVE_SQL = {
     "e12_pq_adc_topk": lambda counts: _e12_sql(
         auto_pq_ksub(counts["n_vecs"]), counts["n_vecs"]
     ),
+    "e13_ivf_pq_topk": lambda counts: _e13_sql(
+        auto_kmeans_k(counts["n_vecs"]),
+        counts["n_vecs"],
+        auto_nprobe(auto_kmeans_k(counts["n_vecs"])),
+        auto_pq_ksub(counts["n_vecs"]),
+    ),
 }
 
 # --------------------------------------------------------------------------
@@ -1183,16 +1189,24 @@ _PQ_MEMO: dict[tuple, dict] = register_session_memo({})
 
 
 def _pq_fit(
-    spark: SparkSession, sf: str, ksub: int, iters: int = PQ_ITERS
+    spark: SparkSession,
+    sf: str,
+    ksub: int,
+    iters: int = PQ_ITERS,
+    blocks: DataFrame | None = None,
+    tag: str = "base",
 ) -> dict:
     """Per-block codebooks after ``iters`` deterministic Lloyd rounds:
     dict (block, cid) -> components. ALL blocks train in the same jobs —
     one assignment pass + one update aggregate per iteration regardless of
-    PQ_M (the block id is just another grouping column)."""
-    key = (spark.sparkContext.applicationId, sf, ksub, iters)
+    PQ_M (the block id is just another grouping column). ``blocks``
+    overrides the training input (e13 trains on coarse residuals); ``tag``
+    keys the memo per input family."""
+    key = (spark.sparkContext.applicationId, sf, ksub, iters, tag)
     if key in _PQ_MEMO:
         return _PQ_MEMO[key]
-    blocks = _pq_blocks_df(spark, sf)
+    if blocks is None:
+        blocks = _pq_blocks_df(spark, sf)
     n = _corpus_n(spark, sf)
     stride = max(n // ksub, 1)
     seeds = (
@@ -1341,18 +1355,28 @@ def _sql_sq_dist_n(e_expr: str, c_expr: str, ndims: int) -> str:
     )
 
 
-def _pq_cte_sql(ksub: int, n_vecs: int, iters: int = PQ_ITERS) -> str:
+def _pq_cte_sql(
+    ksub: int, n_vecs: int, iters: int = PQ_ITERS, src: str | None = None
+) -> str:
     """Per-block unrolled Lloyd chains mirroring _pq_fit exactly; exposes
-    cent_b{b}_{iters} (cid, c) and assign_final_b{b} (vec_id, cid)."""
+    cent_b{b}_{iters} (cid, c) and assign_final_b{b} (vec_id, cid).
+    ``src`` names a prior CTE exposing (vec_id, e double-list) to train on
+    instead of the raw embeddings (e13 passes the coarse-residual CTE)."""
     stride = max(n_vecs // ksub, 1)
     parts = []
     for b in range(PQ_M):
         lo, hi = b * PQ_SUB + 1, (b + 1) * PQ_SUB
-        parts.append(
-            f"emb_b{b} AS MATERIALIZED (SELECT vec_id, "
-            f"list_transform(embedding[{lo}:{hi}], x -> CAST(x AS DOUBLE)) AS e "
-            f"FROM embeddings)"
-        )
+        if src is None:
+            parts.append(
+                f"emb_b{b} AS MATERIALIZED (SELECT vec_id, "
+                f"list_transform(embedding[{lo}:{hi}], x -> CAST(x AS DOUBLE)) AS e "
+                f"FROM embeddings)"
+            )
+        else:
+            parts.append(
+                f"emb_b{b} AS MATERIALIZED (SELECT vec_id, "
+                f"e[{lo}:{hi}] AS e FROM {src})"
+            )
         parts.append(
             f"cent_b{b}_0 AS MATERIALIZED ("
             f"SELECT CAST(vec_id // {stride} AS INT) AS cid, "
@@ -1439,6 +1463,233 @@ E11_SQL = _e11_sql(auto_pq_ksub(GATE_N_VECS), GATE_N_VECS)
 E12_SQL = _e12_sql(auto_pq_ksub(GATE_N_VECS), GATE_N_VECS)
 
 
+# --------------------------------------------------------------------------
+# e13: IVF-PQ — the full FAISS-style composition of the two quantizers the
+# registry already attests separately: e09's coarse k-means partitions the
+# corpus into inverted lists; each vector's RESIDUAL (vector − its list
+# centroid) is PQ-encoded with e11's per-block machinery (residual PQ is
+# the standard refinement — residual energy ≪ vector energy, so the same
+# ksub spends its codes on a much smaller cell); queries probe nprobe
+# lists and score candidates by ADC over the residual codebooks, with the
+# query residual computed PER PROBED LIST (the asymmetric part).
+#
+# Scale shape: corpus-side artifacts are the list assignment (1 int) + M
+# code ids per vector; the ADC table is |Q| × nprobe × M × ksub rows —
+# broadcast-sized at any corpus scale; candidate scoring joins corpus
+# codes against that broadcast on (list, block, code) and decimal-sums.
+# No full-vector arithmetic touches the corpus at query time, and only
+# probed lists contribute join matches (at scale: list-partitioned
+# storage prunes unprobed lists at the scan, the e10 layout).
+#
+# Determinism: both fits are the attested deterministic Lloyd recipes;
+# residuals are index-ordered double subtractions of already-deterministic
+# quantities; ADC block distances ROUND 6 then DECIMAL(18,6)-summed.
+# --------------------------------------------------------------------------
+
+def _res_blocks_df(spark: SparkSession, sf: str, coarse: dict) -> DataFrame:
+    """(vec_id, coarse_cid, block, e): per-block sub-vectors of each
+    vector's residual against its assigned coarse centroid."""
+    emb = T(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    assigned = emb.crossJoin(F.broadcast(_cents_frame(spark, coarse))).select(
+        "vec_id", "e", _data_assign_cid(F.col("cents")).alias("coarse_cid"), "cents"
+    )
+    cvec = F.element_at(
+        F.filter(F.col("cents"), lambda ct: ct["cid"] == F.col("coarse_cid")), 1
+    )["c"]
+    res = assigned.select(
+        "vec_id",
+        "coarse_cid",
+        F.zip_with("e", cvec, lambda x, c: x - c).alias("r"),
+    )
+    entries = F.array(*[
+        F.struct(
+            F.lit(b).alias("block"),
+            F.slice("r", b * PQ_SUB + 1, PQ_SUB).alias("e"),
+        )
+        for b in range(PQ_M)
+    ])
+    return res.select(
+        "vec_id", "coarse_cid", F.explode(entries).alias("be")
+    ).select("vec_id", "coarse_cid", "be.block", "be.e")
+
+
+def e13_ivf_pq_topk(
+    spark: SparkSession,
+    sf: str,
+    k: int | None = None,
+    nprobe: int | None = None,
+    ksub: int | None = None,
+) -> DataFrame:
+    n = _corpus_n(spark, sf)
+    if k is None:
+        k = auto_kmeans_k(n)
+    if nprobe is None:
+        nprobe = auto_nprobe(k)
+    if ksub is None:
+        ksub = auto_pq_ksub(n)
+    coarse = _kmeans_fit(spark, sf, k)
+    res_blocks = _res_blocks_df(spark, sf, coarse)
+    books = _pq_fit(
+        spark, sf, ksub, PQ_ITERS,
+        blocks=res_blocks.select("vec_id", "block", "e"), tag=f"res{k}",
+    )
+    bframe = _pq_cents_frame(spark, books)
+    # corpus side: (vec_id, list, block, code) — 1 + M ints per vector
+    codes = res_blocks.crossJoin(F.broadcast(bframe)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("coarse_cid").alias("cid"),
+        "block",
+        _pq_assign(F.col("cents"), F.col("block")).alias("code"),
+    )
+    # query side: probe nprobe coarse lists (the e10 ranking), then the
+    # PER-LIST query residual
+    emb = T(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    dstructs = F.transform(
+        F.col("cents"),
+        lambda ct: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("e"), ct["c"], lambda x, cc: (x - cc) * (x - cc)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            ct["cid"].alias("cid"),
+        ),
+    )
+    probed = (
+        emb.filter(F.col("vec_id") < N_QUERY)
+        .crossJoin(F.broadcast(_cents_frame(spark, coarse)))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "e",
+            F.explode(F.slice(F.sort_array(dstructs), 1, nprobe)).alias("p"),
+        )
+        .select("query_id", "e", F.col("p.cid").alias("cid"))
+    )
+    cdf = spark.createDataFrame(
+        [(cid, coarse[cid]) for cid in sorted(coarse)],
+        "cid int, cc array<double>",
+    )
+    qres = probed.join(F.broadcast(cdf), "cid").select(
+        "query_id", "cid", F.zip_with("e", "cc", lambda x, c: x - c).alias("r")
+    )
+    # ADC table: |Q| x nprobe x M x ksub rows — broadcast-sized always
+    bd = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.slice("r", F.col("bk.block") * PQ_SUB + 1, PQ_SUB),
+                F.col("bk.c"),
+                lambda x, cc: (x - cc) * (x - cc),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        6,
+    )
+    dtable = (
+        qres.crossJoin(F.broadcast(bframe))
+        .select("query_id", "cid", "r", F.explode("cents").alias("bk"))
+        .select(
+            "query_id", "cid",
+            F.col("bk.block").alias("block"),
+            F.col("bk.cid").alias("code"),
+            bd.alias("bd"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(dtable), ["cid", "block", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.round(
+                F.sum(F.col("bd").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("adc_dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
+def _e13_sql(
+    k: int, n_vecs: int, nprobe: int, ksub: int,
+    kiters: int = KMEANS_ITERS, pqiters: int = PQ_ITERS,
+) -> str:
+    res_cte = (
+        f"res AS MATERIALIZED (SELECT a.vec_id, a.cid AS coarse_cid, "
+        f"list_transform(generate_series(1, {DIMS}), "
+        f"d -> emb.e[d] - c.c[d]) AS e "
+        f"FROM assign_final a JOIN emb ON emb.vec_id = a.vec_id "
+        f"JOIN cent{kiters} c ON c.cid = a.cid)"
+    )
+    block_dists = []
+    for b in range(PQ_M):
+        off = b * PQ_SUB
+        d = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {PQ_SUB}), "
+            f"d -> (qr.e[d + {off}] - c.c[d]) * (qr.e[d + {off}] - c.c[d]))), "
+            f"(acc, x) -> acc + x)"
+        )
+        block_dists.append(
+            f"SELECT qr.query_id, res.vec_id AS neighbor_id, "
+            f"ROUND({d}, 6) AS bd "
+            f"FROM qres qr "
+            f"JOIN res ON res.coarse_cid = qr.cid "
+            f"JOIN assign_final_b{b} af ON af.vec_id = res.vec_id "
+            f"JOIN cent_b{b}_{pqiters} c ON c.cid = af.cid "
+            f"WHERE res.vec_id <> qr.query_id"
+        )
+    unions = "\nUNION ALL\n".join(block_dists)
+    return f"""
+WITH {_kmeans_cte_sql(k, n_vecs, kiters)},
+{res_cte},
+{_pq_cte_sql(ksub, n_vecs, pqiters, src="res")},
+probed AS (
+  SELECT query_id, cid FROM (
+    SELECT q.vec_id AS query_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_sql_sq_dist("q.e", "c.c")} ASC, c.cid
+           ) AS lrank
+    FROM emb q CROSS JOIN cent{kiters} c
+    WHERE q.vec_id < {N_QUERY}
+  ) WHERE lrank <= {nprobe}
+),
+qres AS (
+  SELECT p.query_id, p.cid,
+         list_transform(generate_series(1, {DIMS}), d -> q.e[d] - c.c[d]) AS e
+  FROM probed p JOIN emb q ON q.vec_id = p.query_id
+  JOIN cent{kiters} c ON c.cid = p.cid
+),
+pairs AS (
+{unions}
+),
+adc AS (
+  SELECT query_id, neighbor_id,
+         ROUND(CAST(SUM(CAST(bd AS DECIMAL(18,6))) AS DOUBLE), 6) AS adc_dist
+  FROM pairs GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, rank, adc_dist FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id) AS rank
+  FROM adc
+) WHERE rank <= {TOP_K}
+"""
+
+
+E13_SQL = _e13_sql(
+    auto_kmeans_k(GATE_N_VECS), GATE_N_VECS,
+    auto_nprobe(auto_kmeans_k(GATE_N_VECS)), auto_pq_ksub(GATE_N_VECS),
+)
+
+
 EMBEDDINGS = {
     "e01_cosine_topk": (e01_cosine_topk, E01_SQL),
     "e02_lsh_buckets": (e02_lsh_buckets, E02_SQL),
@@ -1452,4 +1703,5 @@ EMBEDDINGS = {
     "e10_kmeans_ivf_topk": (e10_kmeans_ivf_topk, E10_SQL),
     "e11_pq_codebooks": (e11_pq_codebooks, E11_SQL),
     "e12_pq_adc_topk": (e12_pq_adc_topk, E12_SQL),
+    "e13_ivf_pq_topk": (e13_ivf_pq_topk, E13_SQL),
 }

@@ -787,6 +787,41 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q36: exact percentile aggregates (A-family gap: distributional stats).
+# Spark's `percentile` and DuckDB's `quantile_cont` both use linear
+# interpolation at index p*(n-1) over the sorted values — identical doubles
+# on identical inputs (probed; ROUND 6 guards formatting only). Exact
+# percentiles sort within each group: fine per-group cost at any scale
+# because the shuffle is on the GROUP key and each group sorts locally
+# (Spark's exact-percentile aggregate buffers per group — for hot groups at
+# 100 TB the approx_percentile/t-digest family is the escape hatch; this
+# operator is the exactness baseline those are judged against).
+# --------------------------------------------------------------------------
+
+def q36_event_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    ev = T(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.min("value"), 6).alias("v_min"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        F.round(F.max("value"), 6).alias("v_max"),
+    )
+
+
+Q36_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       ROUND(MIN(value), 6) AS v_min,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99,
+       ROUND(MAX(value), 6) AS v_max
+FROM events GROUP BY event_type
+"""
+
+
 RELATIONAL = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_revenue_by_nation": (q02_revenue_by_nation, Q02_SQL),
@@ -812,4 +847,5 @@ RELATIONAL = {
     "q22_time_features": (q22_time_features, Q22_SQL),
     "q23_geo_distances": (q23_geo_distances, Q23_SQL),
     "q24_json_extract": (q24_json_extract, Q24_SQL),
+    "q36_event_percentiles": (q36_event_percentiles, Q36_SQL),
 }

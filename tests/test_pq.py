@@ -117,3 +117,55 @@ def test_e12_adc_equals_quantized_distance(spark, sf_dir):
     # lower). The rail only guards against ADC degenerating to noise
     # (errors ~1 would mean the estimate carries no distance signal).
     assert np.mean(rel_errs) < 0.85, np.mean(rel_errs)
+
+
+# -- e13 IVF-PQ on a corpus WITH cluster structure -------------------------
+# (the test_kmeans blob fixture, duplicated: module-scoped fixtures don't
+# cross test modules without promotion to conftest)
+
+N_BLOB_VECS = 2000
+N_BLOBS = 20
+
+
+@pytest.fixture(scope="module")
+def blob_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("pq_blobs")
+    blob = F.col("id") % N_BLOBS
+
+    def comp(k, scale, basis):
+        v = F.sin((basis * 64 + k.cast("long")) * 12.9898) * 43758.5453
+        return (v - F.floor(v) - F.lit(0.5)) * scale
+
+    vecs = spark.range(N_BLOB_VECS).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda k: (
+                comp(k, F.lit(1.0), blob) + comp(k, F.lit(0.05), F.col("id") + 7919)
+            ).cast("float"),
+        ).alias("embedding"),
+        blob.cast("int").alias("label"),
+    )
+    vecs.write.parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_e13_ivf_pq_stays_in_blob(spark, blob_dir):
+    """On well-separated blobs, every IVF-PQ top-k neighbor must come from
+    the query's own blob: the coarse probe has to find the right lists and
+    residual-ADC must not rank a cross-blob vector (distance ~ the center
+    separation) above in-blob vectors (distance ~ the noise scale). This is
+    the composition-level correctness PQ quantization noise cannot break —
+    unlike within-blob ORDERING, which quantization legitimately blurs."""
+    from citibike_pipeline_spark.operators.embeddings import e13_ivf_pq_topk
+    from citibike_pipeline_spark.operators.resources import release_query_resources
+
+    out = e13_ivf_pq_topk(spark, blob_dir).collect()
+    release_query_resources(spark)
+    assert len(out) == N_QUERY * TOP_K
+    for r in out:
+        assert r.neighbor_id % N_BLOBS == r.query_id % N_BLOBS, r
+        assert r.adc_dist >= 0.0
+    for q in range(N_QUERY):
+        ranks = sorted(r.rank for r in out if r.query_id == q)
+        assert ranks == list(range(1, TOP_K + 1))
