@@ -822,6 +822,79 @@ FROM events GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q37: ROLLUP hierarchy totals (SO-family: grouping sets). Spark's rollup +
+# grouping_id and DuckDB's GROUP BY ROLLUP + GROUPING produce the same
+# lattice (detail rows, per-status subtotals, grand total) with the same
+# bitmask ids and NULL markers. One Expand + one hash aggregate — the Expand
+# multiplies input by the grouping-set count (3 here), all partial-agg'd
+# map-side before the single exchange; at 100 TB a rollup costs ~sets×scan,
+# not sets×shuffles.
+# --------------------------------------------------------------------------
+
+def q37_rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(_dec("o_totalprice")).cast("double"), 4).alias("revenue"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+Q37_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# --------------------------------------------------------------------------
+# q38: time-RANGE window frame (W-family depth): per-user trailing-7-day
+# event count and value sum at every event. RANGE frames need a numeric
+# ORDER BY key in Spark — epoch seconds (timestampdiff from the epoch on
+# the NTZ column; DuckDB FLOOR(epoch(ts)) is the same integer, probed
+# equal). Frame sums are SETS (order-independent), so the decimal sum is
+# exact in both engines. One hash exchange on the user key.
+# --------------------------------------------------------------------------
+
+_WEEK_S = 7 * 86400
+
+
+def q38_trailing_window(spark: SparkSession, sf: str) -> DataFrame:
+    ev = T(spark, sf, "events")
+    sec = F.expr("timestampdiff(SECOND, TIMESTAMP'1970-01-01 00:00:00', ts)")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("_sec"))
+        .rangeBetween(-_WEEK_S, 0)
+    )
+    return (
+        ev.withColumn("_sec", sec)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.count(F.lit(1)).over(w).alias("n_7d"),
+            F.round(F.sum(_dec("value", 18, 6)).over(w).cast("double"), 6).alias("sum_7d"),
+        )
+    )
+
+
+Q38_SQL = f"""
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER w AS n_7d,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 6) AS sum_7d
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN {_WEEK_S} PRECEDING AND CURRENT ROW)
+"""
+
+
 RELATIONAL = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_revenue_by_nation": (q02_revenue_by_nation, Q02_SQL),
@@ -848,4 +921,6 @@ RELATIONAL = {
     "q23_geo_distances": (q23_geo_distances, Q23_SQL),
     "q24_json_extract": (q24_json_extract, Q24_SQL),
     "q36_event_percentiles": (q36_event_percentiles, Q36_SQL),
+    "q37_rollup_revenue": (q37_rollup_revenue, Q37_SQL),
+    "q38_trailing_window": (q38_trailing_window, Q38_SQL),
 }

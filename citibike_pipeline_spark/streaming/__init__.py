@@ -3,5 +3,11 @@
 from .tail import StreamingTail
 from .stateful import StreamingConvProgress
 from .scd2 import StreamingScd2
+from .sessions import StreamingSessions
 
-__all__ = ["StreamingTail", "StreamingConvProgress", "StreamingScd2"]
+__all__ = [
+    "StreamingTail",
+    "StreamingConvProgress",
+    "StreamingScd2",
+    "StreamingSessions",
+]
