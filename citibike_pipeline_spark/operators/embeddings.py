@@ -903,6 +903,31 @@ def e09_kmeans_centroids(
     )
 
 
+def _probe_lists(spark, df, cents, nprobe, carry):
+    """Coarse probe shared by e10 and e13: rank ALL centroids per row by
+    the L2 fold on `e` (broadcast one-row cents data, (dist, cid)
+    lexicographic order via sort_array), keep nprobe — one definition so
+    the probe ranking cannot drift between the two query paths."""
+    dstructs = F.transform(
+        F.col("cents"),
+        lambda ct: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("e"), ct["c"], lambda x, cc: (x - cc) * (x - cc)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            ct["cid"].alias("cid"),
+        ),
+    )
+    return (
+        df.crossJoin(F.broadcast(_cents_frame(spark, cents)))
+        .select(
+            *carry, F.explode(F.slice(F.sort_array(dstructs), 1, nprobe)).alias("p")
+        )
+        .select(*carry, F.col("p.cid").alias("cid"))
+    )
+
+
 def e10_kmeans_ivf_topk(
     spark: SparkSession,
     sf: str,
@@ -923,29 +948,19 @@ def e10_kmeans_ivf_topk(
     )
     # coarse: rank ALL k centroids per query by L2 distance (k is tiny and
     # arrives as the broadcast one-row array — map-side, no row expansion,
-    # one codegen for any k), keep nprobe lists. sort_array over
-    # (dist, cid) structs == the same lexicographic ranking the unrolled
-    # literal form produced.
-    dstructs = F.transform(
-        F.col("cents"),
-        lambda ct: F.struct(
-            F.aggregate(
-                F.zip_with(F.col("e"), ct["c"], lambda x, cc: (x - cc) * (x - cc)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("dist"),
-            ct["cid"].alias("cid"),
-        ),
-    )
-    probed = (
-        e.filter(F.col("vec_id") < N_QUERY)
-        .crossJoin(F.broadcast(_cents_frame(spark, cents)))
-        .select(
+    # one codegen for any k), keep nprobe lists (_probe_lists, shared with
+    # e13; sort_array over (dist, cid) structs == the same lexicographic
+    # ranking the unrolled literal form produced).
+    probed = _probe_lists(
+        spark,
+        e.filter(F.col("vec_id") < N_QUERY).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
-            F.explode(F.slice(F.sort_array(dstructs), 1, nprobe)).alias("p"),
-        )
-        .select("query_id", "qe", F.col("p.cid").alias("cid"))
+            "e",
+        ),
+        cents,
+        nprobe,
+        ["query_id", "qe"],
     )
     # fine: exact cosine only within the probed inverted lists — the fact
     # side shuffles once on its ASSIGNED list id (at scale the corpus is
@@ -975,13 +990,19 @@ def e10_kmeans_ivf_topk(
     )
 
 
-def _sql_sq_dist(e_expr: str, c_expr: str) -> str:
+def _sql_sq_dist_n(e_expr: str, c_expr: str, ndims: int) -> str:
+    """The one squared-L2 SQL template every oracle renders — a recipe
+    change here propagates to ALL of them (full-width and per-block)."""
     return (
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        f"list_transform(generate_series(1, {DIMS}), "
+        f"list_transform(generate_series(1, {ndims}), "
         f"d -> ({e_expr}[d] - {c_expr}[d]) * ({e_expr}[d] - {c_expr}[d]))), "
         f"(acc, x) -> acc + x)"
     )
+
+
+def _sql_sq_dist(e_expr: str, c_expr: str) -> str:
+    return _sql_sq_dist_n(e_expr, c_expr, DIMS)
 
 
 def _kmeans_cte_sql(k: int, n_vecs: int, iters: int = KMEANS_ITERS) -> str:
@@ -1346,15 +1367,6 @@ def e12_pq_adc_topk(
     )
 
 
-def _sql_sq_dist_n(e_expr: str, c_expr: str, ndims: int) -> str:
-    return (
-        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        f"list_transform(generate_series(1, {ndims}), "
-        f"d -> ({e_expr}[d] - {c_expr}[d]) * ({e_expr}[d] - {c_expr}[d]))), "
-        f"(acc, x) -> acc + x)"
-    )
-
-
 def _pq_cte_sql(
     ksub: int, n_vecs: int, iters: int = PQ_ITERS, src: str | None = None
 ) -> str:
@@ -1548,26 +1560,14 @@ def e13_ivf_pq_topk(
     emb = T(spark, sf, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
-    dstructs = F.transform(
-        F.col("cents"),
-        lambda ct: F.struct(
-            F.aggregate(
-                F.zip_with(F.col("e"), ct["c"], lambda x, cc: (x - cc) * (x - cc)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("dist"),
-            ct["cid"].alias("cid"),
+    probed = _probe_lists(
+        spark,
+        emb.filter(F.col("vec_id") < N_QUERY).select(
+            F.col("vec_id").alias("query_id"), "e"
         ),
-    )
-    probed = (
-        emb.filter(F.col("vec_id") < N_QUERY)
-        .crossJoin(F.broadcast(_cents_frame(spark, coarse)))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "e",
-            F.explode(F.slice(F.sort_array(dstructs), 1, nprobe)).alias("p"),
-        )
-        .select("query_id", "e", F.col("p.cid").alias("cid"))
+        coarse,
+        nprobe,
+        ["query_id", "e"],
     )
     cdf = spark.createDataFrame(
         [(cid, coarse[cid]) for cid in sorted(coarse)],

@@ -60,7 +60,11 @@ class StreamingTombstoneJoin:
         self,
         engine: CdcEngine,
         max_files_per_trigger: int | None = None,
-        watermark_delay: str = "10 minutes",
+        # sized for the engine's own WAL: epochs are redelivery rounds over
+        # the same ~19 h day (see streaming/sessions.py), so the delay must
+        # cover that disorder or buffered rows evict before their
+        # cross-epoch partner arrives
+        watermark_delay: str = "1 day",
     ):
         self.engine = engine
         self.max_files_per_trigger = max_files_per_trigger

@@ -43,7 +43,11 @@ from ..cdc.engine import CdcEngine
 from ..lake import merge_into
 
 SESSION_GAP = "30 minutes"
-WATERMARK_DELAY = "10 minutes"
+# Default sized for the engine's OWN WAL: the generator's epochs are
+# redelivery rounds over the same ~19 h day, so cross-epoch event-time
+# disorder spans the full day — a short delay would silently drop most of
+# the corpus as late. Size this to the source's real disorder bound.
+WATERMARK_DELAY = "1 day"
 
 SESSIONS_SCHEMA = StructType(
     [
@@ -103,6 +107,13 @@ class StreamingSessions:
         )
         sessions = (
             events.withWatermark("ets", self.watermark_delay)
+            # the WAL redelivers ~2% of each epoch verbatim (duplicate
+            # lsns, identical payloads — the exactly-once contract every
+            # consumer must enforce); without this collapse n_events would
+            # permanently overcount in the final append-mode rows. State
+            # evicts with the watermark, so the dedup guarantee is bounded
+            # by the delay — same bound as lateness itself.
+            .dropDuplicatesWithinWatermark(["lsn"])
             .groupBy(F.session_window("ets", SESSION_GAP), F.col("conv_id"))
             .agg(
                 F.count(F.lit(1)).alias("n_events"),

@@ -169,3 +169,30 @@ def test_e13_ivf_pq_stays_in_blob(spark, blob_dir):
     for q in range(N_QUERY):
         ranks = sorted(r.rank for r in out if r.query_id == q)
         assert ranks == list(range(1, TOP_K + 1))
+
+
+def test_pq_fit_is_kmeans_fit_on_one_block(spark, sf_dir):
+    """_kmeans_fit (e09/e10) and _pq_fit (e11-e13) implement the SAME
+    deterministic Lloyd recipe — seeds, decimal update, empty-cluster
+    keep, (dist, cid) tiebreak. They are separate implementations (the
+    e09 path is codegen-tuned for full-width vectors); this pins them
+    together: trained on the identical input (the full vector as one
+    block), every centroid must match EXACTLY — a recipe change applied
+    to one but not the other fails here before it can split the oracles."""
+    from citibike_pipeline_spark.operators.embeddings import (
+        KMEANS_ITERS,
+        _kmeans_fit,
+    )
+    from citibike_pipeline_spark.operators.io import T as _T
+
+    k = 7
+    full = _T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.lit(0).alias("block"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    pq = _pq_fit(spark, sf_dir, k, KMEANS_ITERS, blocks=full, tag="equiv")
+    km = _kmeans_fit(spark, sf_dir, k, KMEANS_ITERS)
+    assert set(pq) == {(0, cid) for cid in km}
+    for cid, c in km.items():
+        assert pq[(0, cid)] == c, cid

@@ -56,7 +56,13 @@ def streamed(spark, tmp_path_factory):
 def expected_sessions(eng):
     """Batch recompute with session_window's merge rule: events whose
     [ts, ts+gap) intervals overlap merge; session_end = last ts + gap."""
-    ev = eng.bronze.read_epochs(0, CFG.n_epochs).select("conv_id", "lsn", "ts")
+    # same-lsn collapse first: the stream side dedups redelivered rows
+    # within the watermark, so n_events counts DISTINCT events
+    ev = (
+        eng.bronze.read_epochs(0, CFG.n_epochs)
+        .select("conv_id", "lsn", "ts")
+        .dropDuplicates(["lsn"])
+    )
     w = Window.partitionBy("conv_id").orderBy("ts", "lsn")
     gap = F.expr("timestampdiff(SECOND, _prev, ts)")
     flagged = (
