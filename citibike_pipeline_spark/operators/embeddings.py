@@ -1542,7 +1542,12 @@ def e13_ivf_pq_topk(
     if ksub is None:
         ksub = auto_pq_ksub(n)
     coarse = _kmeans_fit(spark, sf, k)
-    res_blocks = _res_blocks_df(spark, sf, coarse)
+    # persist the residual blocks: their lineage contains the coarse
+    # assignment fold (k × DIMS work per corpus row) and feeds the PQ
+    # fit's seed collect + every Lloyd update + the codes encode — without
+    # the persist each of those ~5 jobs recomputes the fold from the scan
+    # (measured 73.6 s -> 16.5 s best-of-2 at sf0.1, BENCH/BASELINE.md)
+    res_blocks = scoped_persist(_res_blocks_df(spark, sf, coarse))
     books = _pq_fit(
         spark, sf, ksub, PQ_ITERS,
         blocks=res_blocks.select("vec_id", "block", "e"), tag=f"res{k}",
