@@ -895,6 +895,42 @@ WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
 """
 
 
+# --------------------------------------------------------------------------
+# q39: INTERSECT / EXCEPT (SO-family completion — q16 covers UNION
+# DISTINCT; these are the other two set operators, both with SQL's
+# distinct-set semantics). Spark plans both as aggregated joins (left-semi
+# / left-anti over distinct keys): one shuffle each, partial-distinct
+# map-side.
+# --------------------------------------------------------------------------
+
+def q39_set_operations(spark: SparkSession, sf: str) -> DataFrame:
+    ev = T(spark, sf, "events")
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    erroring = ev.filter(F.col("event_type") == "error").select("user_id")
+    both = purchasers.intersect(erroring).withColumn(
+        "set_op", F.lit("purchase_and_error")
+    )
+    only = purchasers.subtract(erroring).withColumn(
+        "set_op", F.lit("purchase_only")
+    )
+    return both.unionByName(only)
+
+
+Q39_SQL = """
+SELECT user_id, 'purchase_and_error' AS set_op FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'error'
+)
+UNION ALL
+SELECT user_id, 'purchase_only' AS set_op FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'error'
+)
+"""
+
+
 RELATIONAL = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_revenue_by_nation": (q02_revenue_by_nation, Q02_SQL),
@@ -923,4 +959,5 @@ RELATIONAL = {
     "q36_event_percentiles": (q36_event_percentiles, Q36_SQL),
     "q37_rollup_revenue": (q37_rollup_revenue, Q37_SQL),
     "q38_trailing_window": (q38_trailing_window, Q38_SQL),
+    "q39_set_operations": (q39_set_operations, Q39_SQL),
 }
