@@ -931,6 +931,61 @@ SELECT user_id, 'purchase_only' AS set_op FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# q40: sketch aggregates (A-family: the approximate tier q36's exact
+# percentiles are the baseline for). At 100 TB exact COUNT(DISTINCT) is a
+# full re-shuffle of the key universe; the scale path is a single-pass
+# mergeable sketch (HyperLogLog++ via approx_count_distinct, KLL-style via
+# approx_percentile) combined map-side like any other partial aggregate.
+# Sketch outputs are engine-specific, so the cross-engine attestation is a
+# TOLERANCE CONTRACT: the query emits the exact value plus a boolean
+# "sketch within rsd bound" per group, and the DuckDB oracle emits the same
+# exact values with the flags pinned TRUE — the hash matches iff every
+# sketch landed inside its advertised error bound. Both sketches are
+# deterministic for a fixed input, so the gate is stable.
+# Reference analog: trip_summary.sql:12-19 (COUNT(DISTINCT bikeid) per
+# month — the aggregate a 10^10-row table forces onto the sketch path).
+# --------------------------------------------------------------------------
+
+def q40_sketch_aggregates(spark: SparkSession, sf: str) -> DataFrame:
+    ev = T(spark, sf, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.05).alias("_hll_users"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90_exact"),
+        F.expr("approx_percentile(value, 0.9, 10000)").alias("_p90_sketch"),
+        F.min("value").alias("_v_min"),
+        F.max("value").alias("_v_max"),
+    )
+    # HLL++ at rsd=0.05: flag |approx-exact| <= 3*rsd*exact (3-sigma).
+    # approx_percentile at accuracy=10000: rank error <= n/accuracy, so the
+    # sketch p90 must land within the group's value range scaled by 1% —
+    # bounded here as within 1% of the value span around the exact p90.
+    span = F.col("_v_max") - F.col("_v_min")
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("_hll_users") - F.col("exact_users"))
+            <= 0.15 * F.col("exact_users")
+        ).alias("hll_in_bound"),
+        "p90_exact",
+        (
+            F.abs(F.col("_p90_sketch") - F.col("p90_exact")) <= 0.01 * span
+        ).alias("p90_sketch_in_bound"),
+    )
+
+
+Q40_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS hll_in_bound,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90_exact,
+       TRUE AS p90_sketch_in_bound
+FROM events GROUP BY event_type
+"""
+
+
 RELATIONAL = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_revenue_by_nation": (q02_revenue_by_nation, Q02_SQL),
@@ -960,4 +1015,5 @@ RELATIONAL = {
     "q37_rollup_revenue": (q37_rollup_revenue, Q37_SQL),
     "q38_trailing_window": (q38_trailing_window, Q38_SQL),
     "q39_set_operations": (q39_set_operations, Q39_SQL),
+    "q40_sketch_aggregates": (q40_sketch_aggregates, Q40_SQL),
 }
