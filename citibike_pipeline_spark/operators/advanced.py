@@ -55,8 +55,12 @@ def q25_reconstructed_ids(spark: SparkSession, sf: str) -> DataFrame:
         ),
         "l_quantity",
     )
+    # missing is a bounded id set (distinct keys absent from the dim);
+    # broadcast it so the 2|lineitem|-row unpivot side never shuffles for
+    # the join (guide §3.1 — the post-anti-join size estimate otherwise
+    # defeats auto-broadcast and plans a sort-merge join of the fact side)
     return (
-        missing.join(unpivoted, "id")
+        unpivoted.join(F.broadcast(missing), "id")
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
@@ -237,14 +241,18 @@ def q28_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     n_nodes = nodes.count()  # small driver scalar (node count, not data)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(_PR_ITers):
+        # rank/contrib tables are O(nodes) rows — broadcast both sides each
+        # round so the edge-sized transition table is NEVER shuffled: the
+        # unhinted plan sort-merge-joined ~|E| rows per iteration (guide
+        # §2.4/§3.1; |E| ~ 6M at sf1.0 vs ~210k node rows)
         contribs = (
-            trans.join(ranks, trans.src == ranks.node)
+            trans.join(F.broadcast(ranks), trans.src == ranks.node)
             .select("dst", (F.col("p") * F.col("rank")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
         ranks = (
-            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            nodes.join(F.broadcast(contribs), nodes.node == contribs.dst, "left")
             .select(
                 "node",
                 (

@@ -15,10 +15,12 @@ nondeterminism.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .io import T
+from .io import T, spread
 from .resources import register_session_memo, scoped_persist
 from .sizing import (
     GATE_N_LABELS,
@@ -67,7 +69,7 @@ def e01_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    cand = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    cand = spread(emb).select(F.col("vec_id").alias("neighbor_id"), "embedding")
     scored = (
         cand.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -252,6 +254,37 @@ def _augmented(emb: DataFrame) -> DataFrame:
 SRP_TABLES = 4
 
 
+def _np_srp_buckets_udf(n_planes: int, n_tables: int):
+    """All n_tables SRP bucket ids per vector in one vectorized pass,
+    BIT-IDENTICAL to the per-plane fold: each plane dot accumulates
+    dim-by-dim in index order against the identical literal components
+    (one vectorized add per dim == _plane_dot's left fold), the sign test
+    is the same strict > 0, and table t's bucket is Σ 2^p over its plane
+    range. The JVM form evaluated tables x planes x dims scalar ops per
+    row on the single-split scan task."""
+    P = np.asarray(
+        [_plane_components(p) for p in range(n_tables * n_planes)],
+        dtype=np.float64,
+    )
+
+    @F.pandas_udf("array<long>")
+    def buckets(e: pd.Series) -> pd.Series:
+        if not len(e):
+            return pd.Series([], dtype=object)
+        X = np.stack(e.to_numpy()).astype(np.float64, copy=False)
+        acc = np.zeros((X.shape[0], P.shape[0]), dtype=np.float64)
+        for d in range(P.shape[1]):
+            acc += X[:, d, None] * P[None, :, d]
+        pos = acc > 0.0
+        out = np.zeros((X.shape[0], n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            for q in range(n_planes):
+                out[:, t] += pos[:, t * n_planes + q].astype(np.int64) << q
+        return pd.Series(list(out))
+
+    return buckets
+
+
 def e03_neardup_pairs(
     spark: SparkSession,
     sf: str,
@@ -262,7 +295,7 @@ def e03_neardup_pairs(
     if n_planes is None:
         # sized on the base corpus (the planted copies are a few percent)
         n_planes = auto_lsh_planes(base.count())
-    emb = _augmented(base)
+    emb = _augmented(spread(base))
     # materialize the vector index (embedding + norm) once — the exact
     # cosine stage probes it on both sides of every candidate pair.
     # Precomputing the norm cuts per-pair work from dot+2 norms (3 array
@@ -274,29 +307,17 @@ def e03_neardup_pairs(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"),
     ))
 
-    def table_bucket(t: int):
-        # table t uses plane indices [t*n_planes, (t+1)*n_planes) — disjoint
-        # frequencies, so tables are independent
-        return sum(
-            (
-                F.when(_plane_dot(t * n_planes + p) > 0, F.lit(2 ** p)).otherwise(F.lit(0))
-                for p in range(n_planes)
-            ),
-            start=F.lit(0),
-        )
-
     # the LSH index: (vec_id, table, bucket) — persisted because the
-    # candidate self-join probes it twice (recomputing = 2x the plane dots)
+    # candidate self-join probes it twice (recomputing = 2x the plane dots).
+    # posexplode's position IS the table id (the UDF emits buckets in table
+    # order), so the (tbl, val) rows match the struct-array form exactly.
     bands = scoped_persist(
         idx.select(
             "vec_id",
-            F.explode(
-                F.array(*[
-                    F.struct(F.lit(t).alias("tbl"), table_bucket(t).alias("val"))
-                    for t in range(n_tables)
-                ])
-            ).alias("b"),
-        ).select("vec_id", F.col("b.tbl").alias("tbl"), F.col("b.val").alias("val"))
+            F.posexplode(
+                _np_srp_buckets_udf(n_planes, n_tables)(F.col("embedding"))
+            ).alias("tbl", "val"),
+        )
     )
     a, c = bands.alias("a"), bands.alias("c")
     cand = (
@@ -385,7 +406,7 @@ E03_SQL = _e03_sql()
 # --------------------------------------------------------------------------
 
 def e04_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
-    emb = T(spark, sf, "embeddings")
+    emb = spread(T(spark, sf, "embeddings"))
     dims = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
     cent = dims.groupBy("label", "dim").agg(
         (F.sum(F.col("v").cast("decimal(28,12)")).cast("double") / F.count(F.lit(1))).alias("c")
@@ -440,7 +461,7 @@ NPROBE = auto_nprobe(GATE_N_LABELS)  # 3
 def _centroids(emb: DataFrame) -> DataFrame:
     """Full-vector per-label centroid (array<double>), deterministic: decimal
     sums per dim, reassembled in dim order."""
-    dims = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    dims = spread(emb).select("label", F.posexplode("embedding").alias("dim", "v"))
     cent = dims.groupBy("label", "dim").agg(
         (F.sum(F.col("v").cast("decimal(28,12)")).cast("double") / F.count(F.lit(1))).alias("c")
     )
@@ -476,7 +497,9 @@ def e05_ivf_topk(
         .select("query_id", "qe", "label")
     )
     # fine search: exact cosine only within probed lists
-    cand = emb.select(F.col("vec_id").alias("neighbor_id"), "label", "embedding")
+    cand = spread(emb).select(
+        F.col("vec_id").alias("neighbor_id"), "label", "embedding"
+    )
     scored = (
         cand.join(F.broadcast(probed), on="label")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -671,7 +694,7 @@ def e08_centroid_outliers(spark: SparkSession, sf: str) -> DataFrame:
         ),
         6,
     )
-    return emb.join(F.broadcast(cents), "label").select(
+    return spread(emb).join(F.broadcast(cents), "label").select(
         "vec_id",
         "label",
         csim.alias("csim"),
@@ -781,6 +804,75 @@ def _cents_frame(spark: SparkSession, cents: dict[int, list[float]]) -> DataFram
     )
 
 
+def _np_assign_cid_udf(cents: dict[int, list[float]]):
+    """Vectorized argmin-cid assignment, BIT-IDENTICAL to _data_assign_cid:
+    the squared-L2 accumulates dim-by-dim in index order (one vectorized add
+    per dim == the same sequential left fold, every elementwise op a single
+    IEEE-754 double op), and np.argmin returns the FIRST minimum over the
+    cid-ascending centroid matrix — the same (dist, cid) lexicographic
+    tiebreak as F.least over structs. Centroids ride in the task closure
+    (k x dims doubles), so the plan has no centroid join and no per-k
+    codegen at all. Why this replaces the JVM fold (guide §4.2): the fold
+    evaluates k x dims interpreted scalar ops PER ROW — at sf1.0
+    (k=141, 20k vecs) one assignment pass was ~20 s on the single-split
+    scan task; the BLAS-shaped version is milliseconds. The update/seed
+    arithmetic stays engine-side (decimal sums, ROUND), so cross-engine
+    determinism is untouched."""
+    cids = sorted(cents)
+    C = np.asarray([cents[c] for c in cids], dtype=np.float64)
+    cid_arr = np.asarray(cids, dtype=np.int32)
+
+    @F.pandas_udf("int")
+    def assign(e: pd.Series) -> pd.Series:
+        if not len(e):
+            return pd.Series(np.empty(0, dtype=np.int32))
+        X = np.stack(e.to_numpy()).astype(np.float64, copy=False)
+        acc = np.zeros((X.shape[0], C.shape[0]), dtype=np.float64)
+        for d in range(C.shape[1]):
+            diff = X[:, d, None] - C[None, :, d]
+            acc += diff * diff
+        return pd.Series(cid_arr[np.argmin(acc, axis=1)])
+
+    return assign
+
+
+def _np_pq_assign_udf(cents: dict):
+    """_np_assign_cid_udf for per-block PQ codebooks: same left-fold
+    arithmetic and first-min tiebreak, applied per block against that
+    block's cid-ascending codebook (exactly what _pq_assign's filtered
+    fold computes)."""
+    grouped: dict = {}
+    for (b, cid), comps in cents.items():
+        grouped.setdefault(b, []).append((cid, comps))
+    mats = {
+        b: (
+            np.asarray([cid for cid, _ in sorted(v)], dtype=np.int32),
+            np.asarray([comps for _, comps in sorted(v)], dtype=np.float64),
+        )
+        for b, v in grouped.items()
+    }
+
+    @F.pandas_udf("int")
+    def assign(block: pd.Series, e: pd.Series) -> pd.Series:
+        out = np.empty(len(block), dtype=np.int32)
+        if not len(block):
+            return pd.Series(out)
+        barr = block.to_numpy()
+        X = np.stack(e.to_numpy()).astype(np.float64, copy=False)
+        for b in np.unique(barr):
+            msk = barr == b
+            cid_arr, C = mats[int(b)]
+            Xb = X[msk]
+            acc = np.zeros((Xb.shape[0], C.shape[0]), dtype=np.float64)
+            for d in range(C.shape[1]):
+                diff = Xb[:, d, None] - C[None, :, d]
+                acc += diff * diff
+            out[msk] = cid_arr[np.argmin(acc, axis=1)]
+        return pd.Series(out)
+
+    return assign
+
+
 # registered so benchmark reps can clear it — e09's recorded time must
 # include the fit every rep (see operators.resources)
 _KMEANS_MEMO: dict[tuple, tuple] = register_session_memo({})
@@ -807,7 +899,7 @@ def _kmeans_fit(
     key = (spark.sparkContext.applicationId, sf, k, iters)
     if key in _KMEANS_MEMO:
         return _KMEANS_MEMO[key]
-    emb = T(spark, sf, "embeddings").select(
+    emb = spread(T(spark, sf, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
     n = _corpus_n(spark, sf)
@@ -822,13 +914,12 @@ def _kmeans_fit(
     )
     cents = {r.cid: list(r.c) for r in seed_rows}
     for _ in range(iters):
-        # centroids ship as a one-row broadcast ARRAY column (no row
-        # expansion, no shuffle — the 1-row nested-loop join is map-side),
-        # keeping the assignment plan identical across iterations; `e` is
-        # carried through instead of re-joined (the update sums are
-        # decimal-exact, so input order can't change the result)
-        assign = emb.crossJoin(F.broadcast(_cents_frame(spark, cents))).select(
-            "vec_id", _data_assign_cid(F.col("cents")).alias("cid"), "e"
+        # centroids ride in the pandas-UDF task closure (bit-identical
+        # argmin, see _np_assign_cid_udf); `e` is carried through instead
+        # of re-joined (the update sums are decimal-exact, so input order
+        # can't change the result)
+        assign = emb.select(
+            "vec_id", _np_assign_cid_udf(cents)(F.col("e")).alias("cid"), "e"
         )
         upd = (
             assign
@@ -868,12 +959,11 @@ def e09_kmeans_centroids(
     # final assignment against the final centroids defines the lists the
     # query path (e10) probes; all arithmetic below is Spark expressions —
     # no Python float rounding anywhere
-    e = T(spark, sf, "embeddings").select(
+    e = spread(T(spark, sf, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
     counts = (
-        e.crossJoin(F.broadcast(_cents_frame(spark, cents)))
-        .select(_data_assign_cid(F.col("cents")).alias("cluster_id"))
+        e.select(_np_assign_cid_udf(cents)(F.col("e")).alias("cluster_id"))
         .groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
     )
@@ -941,7 +1031,7 @@ def e10_kmeans_ivf_topk(
     if nprobe is None:
         nprobe = auto_nprobe(k)  # ~k/3
     cents = _kmeans_fit(spark, sf, k, iters)
-    e = emb.select(
+    e = spread(emb).select(
         "vec_id",
         "embedding",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
@@ -965,13 +1055,10 @@ def e10_kmeans_ivf_topk(
     # fine: exact cosine only within the probed inverted lists — the fact
     # side shuffles once on its ASSIGNED list id (at scale the corpus is
     # stored list-partitioned and unprobed lists prune at the scan)
-    cand = (
-        e.crossJoin(F.broadcast(_cents_frame(spark, cents)))
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            "embedding",
-            _data_assign_cid(F.col("cents")).alias("cid"),
-        )
+    cand = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "embedding",
+        _np_assign_cid_udf(cents)(F.col("e")).alias("cid"),
     )
     scored = (
         cand.join(F.broadcast(probed), on="cid")
@@ -1173,7 +1260,7 @@ def _pq_blocks_df(spark: SparkSession, sf: str) -> DataFrame:
         for b in range(PQ_M)
     ])
     return (
-        T(spark, sf, "embeddings")
+        spread(T(spark, sf, "embeddings"))
         .select("vec_id", F.explode(entries).alias("be"))
         .select("vec_id", "be.block", "be.e")
     )
@@ -1243,10 +1330,10 @@ def _pq_fit(
     )
     cents = {(r.block, r.cid): list(r.c) for r in seeds}
     for _ in range(iters):
-        assign = blocks.crossJoin(
-            F.broadcast(_pq_cents_frame(spark, cents))
-        ).select(
-            "block", _pq_assign(F.col("cents"), F.col("block")).alias("cid"), "e"
+        assign = blocks.select(
+            "block",
+            _np_pq_assign_udf(cents)(F.col("block"), F.col("e")).alias("cid"),
+            "e",
         )
         upd = (
             assign.select("block", "cid", F.posexplode("e").alias("dim", "v"))
@@ -1282,8 +1369,10 @@ def e11_pq_codebooks(
     cents = _pq_fit(spark, sf, ksub, iters)
     counts = (
         _pq_blocks_df(spark, sf)
-        .crossJoin(F.broadcast(_pq_cents_frame(spark, cents)))
-        .select("block", _pq_assign(F.col("cents"), F.col("block")).alias("code"))
+        .select(
+            "block",
+            _np_pq_assign_udf(cents)(F.col("block"), F.col("e")).alias("code"),
+        )
         .groupBy("block", "code")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
     )
@@ -1320,10 +1409,10 @@ def e12_pq_adc_topk(
     blocks = _pq_blocks_df(spark, sf)
     frame = _pq_cents_frame(spark, cents)
     # corpus side: PQ codes only — M ints per vector
-    codes = blocks.crossJoin(F.broadcast(frame)).select(
+    codes = blocks.select(
         F.col("vec_id").alias("neighbor_id"),
         "block",
-        _pq_assign(F.col("cents"), F.col("block")).alias("cid"),
+        _np_pq_assign_udf(cents)(F.col("block"), F.col("e")).alias("cid"),
     )
     # ADC distance table: |Q| x M x ksub rows, broadcast-sized at any scale
     sq = F.round(
@@ -1501,19 +1590,23 @@ E12_SQL = _e12_sql(auto_pq_ksub(GATE_N_VECS), GATE_N_VECS)
 def _res_blocks_df(spark: SparkSession, sf: str, coarse: dict) -> DataFrame:
     """(vec_id, coarse_cid, block, e): per-block sub-vectors of each
     vector's residual against its assigned coarse centroid."""
-    emb = T(spark, sf, "embeddings").select(
+    emb = spread(T(spark, sf, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
-    assigned = emb.crossJoin(F.broadcast(_cents_frame(spark, coarse))).select(
-        "vec_id", "e", _data_assign_cid(F.col("cents")).alias("coarse_cid"), "cents"
+    assigned = emb.select(
+        "vec_id", "e", _np_assign_cid_udf(coarse)(F.col("e")).alias("coarse_cid")
     )
-    cvec = F.element_at(
-        F.filter(F.col("cents"), lambda ct: ct["cid"] == F.col("coarse_cid")), 1
-    )["c"]
-    res = assigned.select(
+    cdf = spark.createDataFrame(
+        [(cid, coarse[cid]) for cid in sorted(coarse)],
+        "coarse_cid int, cc array<double>",
+    )
+    # residual = e - assigned centroid: the centroid arrives via a broadcast
+    # join on the k-row centroid frame; zip_with subtraction is the same
+    # index-ordered double arithmetic as the element_at-lookup form
+    res = assigned.join(F.broadcast(cdf), "coarse_cid").select(
         "vec_id",
         "coarse_cid",
-        F.zip_with("e", cvec, lambda x, c: x - c).alias("r"),
+        F.zip_with("e", "cc", lambda x, c: x - c).alias("r"),
     )
     entries = F.array(*[
         F.struct(
@@ -1554,11 +1647,11 @@ def e13_ivf_pq_topk(
     )
     bframe = _pq_cents_frame(spark, books)
     # corpus side: (vec_id, list, block, code) — 1 + M ints per vector
-    codes = res_blocks.crossJoin(F.broadcast(bframe)).select(
+    codes = res_blocks.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("coarse_cid").alias("cid"),
         "block",
-        _pq_assign(F.col("cents"), F.col("block")).alias("code"),
+        _np_pq_assign_udf(books)(F.col("block"), F.col("e")).alias("code"),
     )
     # query side: probe nprobe coarse lists (the e10 ranking), then the
     # PER-LIST query residual

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import normalize_entity_id, stable_md5_key
-from .io import T
+from .io import T, spread
 
 
 def _dec(c, p=18, s=4):
@@ -765,7 +765,9 @@ FROM pts
 # --------------------------------------------------------------------------
 
 def q24_json_extract(spark: SparkSession, sf: str) -> DataFrame:
-    ev = T(spark, sf, "events")
+    # spread: get_json_object parses every row — the single-file events scan
+    # otherwise runs the whole parse on one task (io.spread, no-op at scale)
+    ev = spread(T(spark, sf, "events"))
     return (
         ev.select(
             "event_id",
@@ -949,14 +951,26 @@ SELECT user_id, 'purchase_only' AS set_op FROM (
 
 def q40_sketch_aggregates(spark: SparkSession, sf: str) -> DataFrame:
     ev = T(spark, sf, "events")
-    agg = ev.groupBy("event_type").agg(
+    # TWO aggregates broadcast-joined on event_type (round-5 verdict #5,
+    # BENCH/BASELINE.md "known-not-taken" rewrite, now taken): mixing
+    # COUNT(DISTINCT) with percentile aggregates in one groupBy makes
+    # Catalyst's distinct-rewrite Expand carry the percentile buffers
+    # through a doubled row stream (2 exchanges x 2N rows). Split, the
+    # distinct family expands only (event_type, user_id) pairs and the
+    # percentile family aggregates the raw stream once; the 5-row join is
+    # a broadcast. Per-group values are identical — same aggregates over
+    # the same groups — so the output hash is unchanged.
+    dist_fam = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", 0.05).alias("_hll_users"),
+    )
+    pct_fam = ev.groupBy("event_type").agg(
         F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90_exact"),
         F.expr("approx_percentile(value, 0.9, 10000)").alias("_p90_sketch"),
         F.min("value").alias("_v_min"),
         F.max("value").alias("_v_max"),
     )
+    agg = dist_fam.join(F.broadcast(pct_fam), "event_type")
     # HLL++ at rsd=0.05: flag |approx-exact| <= 3*rsd*exact (3-sigma).
     # approx_percentile at accuracy=10000: rank error <= n/accuracy, so the
     # sketch p90 must land within the group's value range scaled by 1% —

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .io import T
+from .io import T, spread
 from .resources import scoped_persist, scratch_dir
 from .sizing import GATE_N_DOCS, auto_minhash_bands, auto_simhash_bits
 
@@ -147,21 +147,31 @@ FROM documents
 # --------------------------------------------------------------------------
 
 def d03_langid(spark: SparkSession, sf: str) -> DataFrame:
-    docs = T(spark, sf, "documents")
-    w = _words()
-    # score(lang) = # tokens whose md5 starts with a lang-keyed nibble class;
-    # deterministic + identical in SQL. argmax with fixed tie order LANGS.
-    def lang_score(lang: str):
-        # one-arg lambda closing over `lang` (a two-arg lambda would make
-        # F.filter pass the element index as the second argument)
-        return F.size(
-            F.filter(
-                w, lambda t: F.substring(F.md5(F.concat(F.lit(lang), t)), 1, 1) < F.lit("4")
-            )
-        )
-
-    scores = [lang_score(l).alias(f"score_{l}") for l in LANGS]
-    scored = docs.select("doc_id", "lang", *scores)
+    docs = spread(T(spark, sf, "documents"))
+    # score(lang) = # token OCCURRENCES whose md5(lang||token) starts with a
+    # nibble < '4' — the hash depends only on the token, so hash each
+    # DISTINCT token once (the vocabulary: token TYPES, dictionary-sized at
+    # any corpus scale — this is exactly the broadcast dictionary a langid
+    # model ships) and sum the per-token lang bits per document. The array-
+    # filter form recomputed 5 md5s per occurrence: corpus x tokens x langs
+    # digests instead of vocab x langs (guide §1.2 step 1 / §2.3 — don't
+    # recompute per row what is a function of a small key domain). Counts
+    # are identical; argmax with fixed tie order LANGS as before.
+    tokens = docs.select("doc_id", "lang", F.explode(_words()).alias("t"))
+    bits = tokens.select("t").distinct().select(
+        "t",
+        *[
+            (F.substring(F.md5(F.concat(F.lit(l), F.col("t"))), 1, 1) < F.lit("4"))
+            .cast("long")
+            .alias(f"bit_{l}")
+            for l in LANGS
+        ],
+    )
+    scored = (
+        tokens.join(F.broadcast(bits), "t")
+        .groupBy("doc_id", "lang")
+        .agg(*[F.sum(f"bit_{l}").alias(f"score_{l}") for l in LANGS])
+    )
     best = F.greatest(*[F.col(f"score_{l}") for l in LANGS])
     pred = F.when(F.col(f"score_{LANGS[0]}") == best, LANGS[0])
     for l in LANGS[1:]:
@@ -198,7 +208,9 @@ D03_SQL = _langid_sql()
 # --------------------------------------------------------------------------
 
 def d04_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    docs = T(spark, sf, "documents")
+    # spread: ~300 md5 digests per doc of per-row compute — the single-file
+    # single-row-group scan otherwise runs the whole hash pass on one task
+    docs = spread(T(spark, sf, "documents"))
     c = F.col("text")
     idx = F.sequence(F.lit(1), F.greatest(F.length(c) - 7, F.lit(1)))
     shingles = F.transform(idx, lambda i: F.substring(c, i, 8))
@@ -236,29 +248,46 @@ def d05_minhash_lsh_pairs(
     if b is None or r is None:
         # auto-size from the corpus actually scanned (sizing.py; one cheap
         # count — at warehouse scale this comes from table stats). Resolves
-        # to the (4, 2) anchors at the sf0.01 gate corpus.
+        # to the (4, 2) anchors at the sf0.01 gate corpus. Count BEFORE
+        # spreading so the sizing job doesn't pay the repartition exchange.
         ab, ar = auto_minhash_bands(docs.count())
         b = ab if b is None else b
         r = ar if r is None else r
+    docs = spread(docs)
     k = b * r
-    # stage 1: EXPLODE the shingles once, then compute all k signature mins
-    # in ONE hash aggregate. The tempting alternative — k array_min(
-    # transform(sh, md5...)) columns over a projected shingle array — is a
-    # trap: Catalyst collapses the projection, so every element_at re-inlines
-    # split(text) and the plan goes O(words² · k) per doc (measured 4.4 s vs
-    # 0.4 s at sf0.1). Explode materializes each shingle exactly once; the
-    # k mins combine map-side (partial agg) before one shuffle on doc_id.
+    # stage 1: EXPLODE the shingles once, hash each DISTINCT shingle once,
+    # and take the k mins in ONE hash aggregate. All k signature hashes
+    # md5(s|g) are functions of the shingle alone, so computing them per
+    # OCCURRENCE (the round-5 form) did corpus x shingles x k digests where
+    # vocab x k suffices — at sf1.0 that is 165M md5s collapsing to ~60k
+    # (2.58M occurrences over a 931-shingle vocabulary, k=64). The distinct
+    # vocabulary aggregates map-side to near-nothing before its tiny
+    # exchange, the hash table broadcasts, and min-per-doc still combines
+    # map-side before the one shuffle on doc_id (guide §1.2 step 1: fix the
+    # algorithm — don't do per-row work that is a function of a small key
+    # domain). On a corpus whose shingle vocabulary approaches occurrence
+    # count the join degrades gracefully (Spark falls back to a shuffle
+    # join once the estimate exceeds the broadcast cap — same result).
+    # The k array_min(transform(sh, md5...)) alternative stays a trap:
+    # Catalyst re-inlines split(text) per element_at, O(words² · k)/doc.
     ex = docs.select("doc_id", F.explode(_word_bigrams()).alias("g"))
-    sig_cols = [
-        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("g")))).alias(f"mh{s}")
-        for s in range(k)
-    ]
+    ghash = ex.select("g").distinct().select(
+        "g",
+        *[
+            F.md5(F.concat(F.lit(f"{s}|"), F.col("g"))).alias(f"h{s}")
+            for s in range(k)
+        ],
+    )
     # materialize the signature table: the LSH self-join probes it twice and
     # at scale you persist signatures anyway (they're the dedup index).
     # scoped_persist registers the cache for harness-driven release after the
     # caller consumes the result (the returned plan still probes it, so the
     # operator can't unpersist here itself) — see operators/resources.py.
-    sigs = scoped_persist(ex.groupBy("doc_id").agg(*sig_cols))
+    sigs = scoped_persist(
+        ex.join(F.broadcast(ghash), "g")
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{s}").alias(f"mh{s}") for s in range(k)])
+    )
     # AND within a band: the band key hashes r consecutive slots together
     def band_key(i: int):
         return F.md5(F.concat_ws("|", *[F.col(f"mh{i * r + j}") for j in range(r)]))
@@ -344,6 +373,7 @@ def d06_simhash(spark: SparkSession, sf: str, bits: int | None = None) -> DataFr
     docs = T(spark, sf, "documents")
     if bits is None:
         bits = auto_simhash_bits(docs.count())  # 8 at the gate corpus
+    docs = spread(docs)
     # Bit source per width (sizing.py): widths ≤32 draw bit j from the high
     # bit of hex nibble j+1 of md5(token) — the path the DuckDB oracle
     # evaluates identically at gate widths. Widths >32 (corpora past ~2^33
@@ -364,26 +394,46 @@ def d06_simhash(spark: SparkSession, sf: str, bits: int | None = None) -> DataFr
     # (found in the round-4 self-review; the gate corpus has no empty
     # texts, so the hash gate could not catch it).
     tokens = docs.select("doc_id", F.explode_outer(_words()).alias("t"))
+    # Hash each DISTINCT token once and join the per-token ±1 bit vector
+    # back (the d03/d05 vocabulary rewrite): the hash and every bit test
+    # depend only on the token, so per-occurrence evaluation did
+    # corpus x tokens digests + bits x occurrences substring tests where
+    # vocab-sized work suffices. LEFT join + coalesce(-1) keeps the
+    # null-token row (null text) at the identical -1-per-bit contribution
+    # the inline form produced (when(NULL).otherwise(-1)); non-null tokens
+    # always match the vocabulary built from the same rows.
+    vocab = tokens.select("t").distinct()
     if bits <= 32:
-        hashes = tokens.select("doc_id", F.md5("t").alias("h"))
+        vh = vocab.select("t", F.md5("t").alias("h"))
 
         def bit_is_set(j: int):
             return F.substring("h", j + 1, 1).isin(
                 "8", "9", "a", "b", "c", "d", "e", "f"
             )
     else:
-        hashes = tokens.select("doc_id", F.xxhash64("t").alias("h"))
+        vh = vocab.select("t", F.xxhash64("t").alias("h"))
 
         def bit_is_set(j: int):
             # arithmetic shiftright then &1 extracts bit j exactly for
             # j ≤ 63 (sign extension never reaches the masked low bit)
             return F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1
 
+    vbits = vh.select(
+        "t",
+        *[
+            F.when(bit_is_set(j), 1).otherwise(-1).alias(f"s{j}")
+            for j in range(bits)
+        ],
+    )
     bit_cols = [
-        F.sum(F.when(bit_is_set(j), 1).otherwise(-1)).alias(f"b{j}")
+        F.sum(F.coalesce(F.col(f"s{j}"), F.lit(-1))).alias(f"b{j}")
         for j in range(bits)
     ]
-    per_doc = hashes.groupBy("doc_id").agg(*bit_cols)
+    per_doc = (
+        tokens.join(F.broadcast(vbits), "t", "left")
+        .groupBy("doc_id")
+        .agg(*bit_cols)
+    )
     # assemble the bucket id: bitwise-OR of distinct powers of two — exact
     # for every j including 63 (shiftleft wraps to the long sign bit, still
     # a distinct deterministic bucket id; Σ 2^j would mix signs there)
@@ -464,32 +514,95 @@ def _planted_overlap_docs(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "source", "text").unionByName(hi).unionByName(mid)
 
 
-def d07_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    docs = _planted_overlap_docs(T(spark, sf, "documents"))
-    # PERSISTED: the intersection self-join probes this exploded table
-    # twice and `sizes` a third time — uncached, the split+shingle pipeline
-    # over the planted corpus executes three times (the q31/q28 trap).
-    sh = scoped_persist(docs.select(
-        "doc_id", "source", F.explode(F.array_distinct(_word_bigrams())).alias("shingle")
-    ))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+def _jaccard_group_pairs(pdf):
+    """Within-source candidate pairs as EXACT integer counts via a blocked
+    set-intersection matmul (guide §4.2: hand whole batches to vectorized
+    native code). For each doc pair (a < b) sharing >= 1 distinct shingle,
+    emits (doc_a, doc_b, n_inter, n_a, n_b) when the raw Jaccard clears a
+    LOOSE prefilter strictly below the real threshold; the exact
+    round-then-filter stays in Spark (identical expression to the join
+    form), so no rounding semantics live in Python. Equivalence to the
+    shingle equi-join: n_inter = |distinct(A) ∩ distinct(B)| is exactly the
+    0/1-matrix product entry; n_a/n_b are the per-doc distinct counts; and
+    every pair the join would keep has raw jaccard >= 0.2 - 5e-7, far above
+    the 0.199 prefilter. The dense (docs x vocab) block bounds memory: the
+    matmul runs in row chunks, never materializing the full pair matrix."""
+    import numpy as np
+    import pandas as pd
+
+    order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
+    ids = pdf["doc_id"].to_numpy()[order]
+    gs = pdf["gs"].to_numpy()[order]
+    vocab: dict = {}
+    rows, cols = [], []
+    for i, arr in enumerate(gs):
+        for g in arr:
+            ix = vocab.get(g)
+            if ix is None:
+                ix = vocab[g] = len(vocab)
+            rows.append(i)
+            cols.append(ix)
+    n, v = len(ids), max(len(vocab), 1)
+    A = np.zeros((n, v), dtype=np.float32)
+    if rows:
+        A[np.array(rows), np.array(cols)] = 1.0
+    sizes = A.sum(axis=1).astype(np.int64)
+    out_a, out_b, out_i, out_na, out_nb = [], [], [], [], []
+    chunk = 2048
+    for s0 in range(0, n, chunk):
+        s1 = min(s0 + chunk, n)
+        m = A[s0:s1] @ A.T  # float32 exact for counts << 2^24
+        for ii in range(s0, s1):
+            r = m[ii - s0]
+            js = np.nonzero(r[ii + 1:])[0] + ii + 1
+            if not len(js):
+                continue
+            inter = r[js].astype(np.int64)
+            nb = sizes[js]
+            raw = inter / (sizes[ii] + nb - inter)
+            keep = raw >= 0.199
+            if not keep.any():
+                continue
+            for j, itc in zip(js[keep], inter[keep]):
+                out_a.append(ids[ii])
+                out_b.append(ids[j])
+                out_i.append(itc)
+                out_na.append(sizes[ii])
+                out_nb.append(sizes[j])
+    return pd.DataFrame(
+        {
+            "doc_a": pd.Series(out_a, dtype="int64"),
+            "doc_b": pd.Series(out_b, dtype="int64"),
+            "n_inter": pd.Series(out_i, dtype="int64"),
+            "n_a": pd.Series(out_na, dtype="int64"),
+            "n_b": pd.Series(out_nb, dtype="int64"),
+        }
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+
+
+def d07_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _planted_overlap_docs(spread(T(spark, sf, "documents")))
+    # The round-5 shape — explode distinct shingles, self-join on (shingle,
+    # source), count matches per pair — emits one row per SHARED-SHINGLE
+    # OCCURRENCE: with a bounded shingle vocabulary the within-source
+    # buckets grow linearly with the corpus and the join's intermediate
+    # grows quadratically (measured 181 s at sf1.0, ~quarter-billion rows
+    # through the pair aggregate). Same result, different algorithm
+    # (guide §1.2 step 1): per source group, the distinct-shingle sets
+    # become a 0/1 matrix and ALL pairwise intersection counts come out of
+    # one blocked BLAS matmul inside applyInPandas — the pair space is
+    # identical (bounded by source), but it is flops in native code, not
+    # shuffled rows. Spark applies the identical round(·,6) >= 0.2 gate to
+    # the exact integer counts, so the output is bit-identical.
+    sh = docs.select(
+        "doc_id", "source", F.array_distinct(_word_bigrams()).alias("gs")
+    )
+    counts = sh.groupBy("source").applyInPandas(
+        _jaccard_group_pairs,
+        schema="doc_a long, doc_b long, n_inter long, n_a long, n_b long",
+    )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
+        counts.select(
             "doc_a",
             "doc_b",
             F.round(
@@ -832,7 +945,7 @@ def _word_ngrams(n: int, col: str = "text"):
 
 
 def d11_contamination(spark: SparkSession, sf: str) -> DataFrame:
-    docs = _planted_overlap_docs(T(spark, sf, "documents")).filter(
+    docs = _planted_overlap_docs(spread(T(spark, sf, "documents"))).filter(
         F.size(_words()) >= CONTAM_NGRAM
     )
     grams = docs.select(
@@ -920,7 +1033,8 @@ _RE_SSN = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
 
 
 def d12_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
-    docs = T(spark, sf, "documents")
+    # spread: three corpus-wide regex passes + three regexp_counts per row
+    docs = spread(T(spark, sf, "documents"))
     planted = docs.select(
         "doc_id",
         F.when(
@@ -1357,10 +1471,10 @@ FROM canon LEFT JOIN base_hashes ON canon.content_md5 = base_hashes.content_md5
 #
 # Scale shape: posexplode is narrow; ONE hash shuffle on the line for the
 # first-occurrence window; ONE shuffle on doc_id for reassembly. No join —
-# the keep decision is a window min over the line partition. At 100 TB the
-# line-hash partitioning is the same layout C4's own implementation uses;
-# boilerplate lines are the hot keys and collapse map-side via the window's
-# rank pushdown.
+# the keep decision is row_number()==1 over (line ORDER BY rank), which
+# Spark executes with a partial WindowGroupLimit before the exchange: each
+# hot boilerplate line collapses to ~1 row per map task, so the skewed
+# line keys never flood a single reducer (plan-asserted in test_plans.py).
 #
 # Planted cohorts (organic docs are single-line and globally unique, so no
 # line would ever repeat): the two classic boilerplate lines appended to
@@ -1385,9 +1499,17 @@ def d17_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     lines = planted.select(
         "doc_id", F.posexplode(F.split("t", "\n")).alias("pos", "line")
     ).withColumn("rank", F.col("doc_id") * 100000 + F.col("pos"))
-    w = Window.partitionBy("line")
-    kept = lines.withColumn("_min", F.min("rank").over(w)).filter(
-        F.col("rank") == F.col("_min")
+    # first-occurrence-wins as row_number()==1, NOT min(rank) over the line
+    # partition: rank is a total order within each line (doc_id*100000+pos
+    # is globally unique), so the two forms keep identical rows — but the
+    # rank-under-limit shape lets Catalyst insert a partial WindowGroupLimit
+    # BEFORE the exchange, collapsing each hot boilerplate line to ~1 row
+    # per map task. min-over-window has no partial aggregation: it shipped
+    # EVERY occurrence of every boilerplate line through one skewed
+    # exchange (round-5 verdict #1; guide §2.5 hot-key handling).
+    w = Window.partitionBy("line").orderBy("rank")
+    kept = lines.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
     )
     return (
         kept.groupBy("doc_id")

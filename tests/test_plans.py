@@ -176,13 +176,13 @@ def test_e10_fine_search_broadcasts_probe_set(spark, sf_dir):
 
 
 def test_e09_centroids_travel_as_broadcast_data(spark, sf_dir):
-    """k-means consumers ship centroids as broadcast DATA (one one-row
-    array<struct> frame, BroadcastNestedLoopJoin with no row expansion) —
-    never as per-iteration literal expressions (which recompile whole-stage
-    codegen every Lloyd round; e09 28.5 s -> 8.7 s at sf0.1) and never as
-    a cartesian product or shuffle join."""
+    """k-means consumers ship centroids as DATA — since r6 in the pandas-UDF
+    task closure (ArrowEvalPython assignment; bit-identical fold+tiebreak,
+    see embeddings._np_assign_cid_udf) — never as per-iteration literal
+    expressions (which recompile whole-stage codegen every Lloyd round) and
+    never as a cartesian product or shuffle join of the corpus."""
     plan = _plan(entrymod.queries()["e09_kmeans_centroids"](spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" in plan, plan[-2000:]
+    assert "ArrowEvalPython" in plan, plan[-2000:]
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
 
@@ -218,12 +218,15 @@ def test_d15_zero_shuffle(spark, sf_dir):
 
 
 def test_d17_no_join_two_exchanges(spark, sf_dir):
-    """Global line dedup: the keep decision is a window min over the line
+    """Global line dedup: the keep decision is row_number()==1 over the line
     partition (no join back), so the plan is explode -> ONE exchange on the
-    line -> ONE exchange on doc_id for reassembly."""
+    line -> ONE exchange on doc_id for reassembly — and the rank-under-limit
+    shape must produce a partial WindowGroupLimit BEFORE the exchange so hot
+    boilerplate lines collapse map-side (round-5 verdict #1)."""
     plan = _physical(_plan(entrymod.queries()["d17_line_dedup"](spark, sf_dir)))
     assert plan.count("+- Exchange") == 2, plan
     assert "Join" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
 
 
 def test_e12_adc_broadcasts_distance_table(spark, sf_dir):
