@@ -211,16 +211,30 @@ FROM s GROUP BY user_id, session_id
 
 _PR_ITers = 3
 _DAMP = 0.85
+# internal long node encoding for the graph operators: supplier = key,
+# part = key + 2^32 (keys are 32-bit positive, so the map is bijective and
+# order within each side is preserved)
+_NODE_OFF = 1 << 32
 
 
 def q28_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     li = T(spark, sf, "lineitem")
-    # node ids are prefixed: supplier k and part k are DIFFERENT nodes
-    edges = (
-        li.groupBy(
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
-            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
-        ).agg(F.count(F.lit(1)).alias("w"))
+    # node ids are prefixed: supplier k and part k are DIFFERENT nodes.
+    # INTERNAL ids are longs (supplier = key, part = key + 2^32 — bijective
+    # to the "s{k}"/"p{k}" strings, rendered only at the output boundary):
+    # every iteration join/aggregate hashes longs instead of strings
+    # (guide §2.3 narrower types). edges is PERSISTED: out-weights, the
+    # transition build and the node set all consume it — uncached, the 6M-
+    # row lineitem aggregation re-runs per consumer (cross-job exchange
+    # reuse does not apply across actions).
+    edges = scoped_persist(
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select(
+            F.col("l_suppkey").cast("long").alias("src"),
+            (F.col("l_partkey").cast("long") + F.lit(_NODE_OFF)).alias("dst"),
+            "w",
+        )
     )
     # out-weight per src, edge transition probability.
     # trans/nodes are PERSISTED: every power iteration references both, so
@@ -228,8 +242,9 @@ def q28_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     # iteration (the q31 compounding trap). Released by the harness via
     # operators/resources.py.
     out = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
+    # out is O(suppliers) rows — broadcast so the edge table never shuffles
     trans = scoped_persist(
-        edges.join(out, "src").select(
+        edges.join(F.broadcast(out), "src").select(
             "src", "dst", (F.col("w").cast("double") / F.col("w_out")).alias("p")
         )
     )
@@ -261,9 +276,17 @@ def q28_pagerank(spark: SparkSession, sf: str) -> DataFrame:
                 ).alias("rank"),
             )
         )
-    return ranks.select("node", F.round("rank", 9).alias("rank")).orderBy(
-        F.desc("rank"), "node"
-    ).limit(20)
+    # render the string node ids only for the ranked projection; ties in
+    # rank order by the SAME string form as before
+    node_str = F.when(
+        F.col("node") < _NODE_OFF,
+        F.concat(F.lit("s"), F.col("node").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("p"), (F.col("node") - F.lit(_NODE_OFF)).cast("string"))
+    )
+    return ranks.select(
+        node_str.alias("node"), F.round("rank", 9).alias("rank")
+    ).orderBy(F.desc("rank"), "node").limit(20)
 
 
 Q28_SQL = f"""
@@ -581,26 +604,26 @@ _N_SEEDS = 3  # suppliers s1..s3
 
 def q31_closeness(spark: SparkSession, sf: str) -> DataFrame:
     li = T(spark, sf, "lineitem")
+    # internal node ids are the q28 long encoding (supplier = key, part =
+    # key + 2^32) — bijective to the "s{k}"/"p{k}" strings, so BFS layers
+    # and counts are identical while every per-round join hashes longs.
+    # NO edge-level distinct: each round's hop already distincts its
+    # (seed, node) output, so duplicate (supp, part) rows cannot change any
+    # BFS layer — dropping the distinct removes a full |lineitem|-row
+    # shuffle and caches the raw scan projection instead (guide §2.4).
     e = li.select(
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("a"),
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("b"),
-    ).distinct()
-    # undirected: closeness walks both directions of the bipartite edge.
-    # PERSISTED: every BFS round joins against it, and each round's plan
-    # also references the previous frontier TWICE (hop + union), so without
-    # a cache the plan tree doubles per round and the edge distinct is
-    # recomputed at ~2^depth leaf positions. CacheManager substitutes the
-    # InMemoryRelation into every matching subtree, collapsing the blowup;
-    # released by the harness via operators/resources.py. Reproduced
-    # steady state at sf0.1: ~8.3 s best-of-3 quiet — the ~0.5 s/job
-    # local-mode floor across ~14 BFS jobs dominates
-    # (BENCH/iterative_recheck_r5.json).
-    edges = scoped_persist(
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        F.col("l_suppkey").cast("long").alias("a"),
+        (F.col("l_partkey").cast("long") + F.lit(_NODE_OFF)).alias("b"),
     )
-    seeds = spark.range(1, _N_SEEDS + 1).select(
-        F.concat(F.lit("s"), F.col("id")).alias("node")
-    )
+    # undirected walk over a BIPARTITE edge set: a supplier-side frontier
+    # can only match the forward direction and a part-side frontier only
+    # the reverse (the long encoding makes the sides disjoint), so instead
+    # of caching the 2|E|-row undirected union, cache the |E| forward pairs
+    # ONCE and probe the matching direction per round — half the cache
+    # build and half the probe bytes, identical hops. PERSISTED: every BFS
+    # round joins against it (released via operators/resources.py).
+    edges = scoped_persist(e)
+    seeds = spark.range(1, _N_SEEDS + 1).select(F.col("id").alias("node"))
     dist = seeds.select(
         F.col("node").alias("seed"), "node", F.lit(0).alias("dist")
     )
@@ -618,11 +641,21 @@ def q31_closeness(spark: SparkSession, sf: str) -> DataFrame:
     # shape wins).
     frontier = dist
     for i in range(_BFS_DEPTH):
-        hop = (
-            edges.join(F.broadcast(frontier), frontier.node == edges.a)
-            .select("seed", F.col("b").alias("node"))
-            .distinct()
-        )
+        # seeds are suppliers, so even rounds expand supplier->part
+        # (forward) and odd rounds part->supplier (reverse) — the other
+        # direction can never match a bipartite frontier
+        if i % 2 == 0:
+            hop = (
+                edges.join(F.broadcast(frontier), frontier.node == edges.a)
+                .select("seed", F.col("b").alias("node"))
+                .distinct()
+            )
+        else:
+            hop = (
+                edges.join(F.broadcast(frontier), frontier.node == edges.b)
+                .select("seed", F.col("a").alias("node"))
+                .distinct()
+            )
         frontier = scoped_persist(
             hop.join(
                 F.broadcast(dist.select("seed", "node")),
@@ -644,6 +677,13 @@ def q31_closeness(spark: SparkSession, sf: str) -> DataFrame:
             F.round(
                 F.count(F.lit(1)).cast("double") / F.sum("dist"), 6
             ).alias("closeness"),
+        )
+        # seeds are suppliers — render the "s{k}" string form at the edge
+        .select(
+            F.concat(F.lit("s"), F.col("seed").cast("string")).alias("seed"),
+            "n_reached",
+            "total_dist",
+            "closeness",
         )
     )
 
@@ -706,24 +746,28 @@ _BC_TOP = 12  # hubs per side — bounds the path-counting joins at 24 nodes
 def q33_betweenness(spark: SparkSession, sf: str) -> DataFrame:
     li = T(spark, sf, "lineitem")
 
-    def top_nodes(prefix: str, col: str) -> DataFrame:
+    def top_keys(prefix: str, col: str) -> DataFrame:
+        # aggregate on the raw int key; build the node string only for the
+        # |keys|-row ranked projection (same deterministic string tiebreak)
         return (
-            li.groupBy(F.concat(F.lit(prefix), F.col(col)).alias("node"))
+            li.groupBy(F.col(col).alias("k"))
             .agg(F.count(F.lit(1)).alias("c"))
+            .select(F.concat(F.lit(prefix), F.col("k")).alias("node"), "k", "c")
             .orderBy(F.desc("c"), "node")
             .limit(_BC_TOP)
-            .select("node")
         )
 
-    sup, part = top_nodes("s", "l_suppkey"), top_nodes("p", "l_partkey")
+    sup_k, part_k = top_keys("s", "l_suppkey"), top_keys("p", "l_partkey")
+    sup, part = sup_k.select("node"), part_k.select("node")
     e0 = (
-        li.select(
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("a"),
-            F.concat(F.lit("p"), F.col("l_partkey")).alias("b"),
-        )
-        .join(F.broadcast(sup.withColumnRenamed("node", "a")), "a")
-        .join(F.broadcast(part.withColumnRenamed("node", "b")), "b")
+        li.select(F.col("l_suppkey").alias("sk"), F.col("l_partkey").alias("pk"))
+        .join(F.broadcast(sup_k.select(F.col("k").alias("sk"))), "sk")
+        .join(F.broadcast(part_k.select(F.col("k").alias("pk"))), "pk")
         .distinct()
+        .select(
+            F.concat(F.lit("s"), F.col("sk")).alias("a"),
+            F.concat(F.lit("p"), F.col("pk")).alias("b"),
+        )
     )
     # undirected walk space over the bounded graph (≤ 2·K² edge rows).
     # PERSISTED: the path-counting joins below reference this frame six

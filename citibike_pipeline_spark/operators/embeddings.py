@@ -579,7 +579,10 @@ E05_SQL = _e05_sql()
 # --------------------------------------------------------------------------
 
 def e06_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
-    emb = T(spark, sf, "embeddings")
+    # spread: the computation needs no shuffle (narrow posexplode), but on a
+    # single-split local input the whole 64x row expansion would run on one
+    # task; the round-robin input spread is a no-op on real layouts
+    emb = spread(T(spark, sf, "embeddings"))
     scale = F.array_max(
         F.transform("embedding", lambda x: F.abs(x.cast("double")))
     )

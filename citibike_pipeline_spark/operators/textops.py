@@ -19,6 +19,10 @@ not corpus size; the quadratic step only happens within buckets.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -93,7 +97,8 @@ FROM documents GROUP BY source
 # --------------------------------------------------------------------------
 
 def d02_token_stats(spark: SparkSession, sf: str) -> DataFrame:
-    docs = T(spark, sf, "documents")
+    # spread: split + two regex extractions + array folds per row
+    docs = spread(T(spark, sf, "documents"))
     w = _words()
     n_tokens = F.size(w)
     n_stop = F.size(F.filter(w, lambda t: t.isin(*STOPWORDS)))
@@ -241,6 +246,61 @@ FROM fps GROUP BY fingerprint HAVING COUNT(*) >= 1
 # the module constants).
 # --------------------------------------------------------------------------
 
+def _minhash_sig_udf(k: int):
+    """Per-doc MinHash signature (k md5-hex mins over the shingle array),
+    BIT-IDENTICAL to min(md5(f"{s}|" || g)) per slot: hashlib.md5 == Spark
+    md5; the min over hex strings is computed on the raw digest as a
+    (hi, lo) uint64 pair — hex encoding is order-isomorphic to digest
+    bytes, so the numpy (hi, then lo among hi-ties) min IS the
+    lexicographic hex min — and the winning digests are re-hexed with
+    bytes.hex() (lowercase, same as Spark/DuckDB md5 output). Distinct
+    shingles hash once per task (iterator form, guide §4.5); duplicate
+    shingles can't change a min. A null shingle array (null text) yields a
+    null signature row whose band keys are null and never join — the same
+    zero pairs the explode form produced by dropping the doc."""
+    u64max = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    @F.pandas_udf("array<string>")
+    def sig(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import hashlib
+
+        vocab: dict = {}
+        hrows: list = []
+        lrows: list = []
+        for batch in it:
+            out = []
+            for gs in batch:
+                if gs is None:
+                    out.append(None)
+                    continue
+                idx = []
+                ap = idx.append
+                vg = vocab.get
+                for g in gs:
+                    i = vg(g)
+                    if i is None:
+                        i = vocab[g] = len(vocab)
+                        dig = np.frombuffer(
+                            b"".join(
+                                hashlib.md5(("%d|%s" % (s, g)).encode()).digest()
+                                for s in range(k)
+                            ),
+                            dtype=">u8",
+                        ).reshape(k, 2)
+                        hrows.append(dig[:, 0])
+                        lrows.append(dig[:, 1])
+                    ap(i)
+                hh = np.stack([hrows[i] for i in idx])
+                ll = np.stack([lrows[i] for i in idx])
+                hmin = hh.min(axis=0)
+                lmin = np.where(hh == hmin[None, :], ll, u64max).min(axis=0)
+                hx = np.stack([hmin, lmin], axis=1).astype(">u8").tobytes().hex()
+                out.append([hx[j * 32:(j + 1) * 32] for j in range(k)])
+            yield pd.Series(out)
+
+    return sig
+
+
 def d05_minhash_lsh_pairs(
     spark: SparkSession, sf: str, b: int | None = None, r: int | None = None
 ) -> DataFrame:
@@ -255,42 +315,29 @@ def d05_minhash_lsh_pairs(
         r = ar if r is None else r
     docs = spread(docs)
     k = b * r
-    # stage 1: EXPLODE the shingles once, hash each DISTINCT shingle once,
-    # and take the k mins in ONE hash aggregate. All k signature hashes
-    # md5(s|g) are functions of the shingle alone, so computing them per
-    # OCCURRENCE (the round-5 form) did corpus x shingles x k digests where
-    # vocab x k suffices — at sf1.0 that is 165M md5s collapsing to ~60k
-    # (2.58M occurrences over a 931-shingle vocabulary, k=64). The distinct
-    # vocabulary aggregates map-side to near-nothing before its tiny
-    # exchange, the hash table broadcasts, and min-per-doc still combines
-    # map-side before the one shuffle on doc_id (guide §1.2 step 1: fix the
-    # algorithm — don't do per-row work that is a function of a small key
-    # domain). On a corpus whose shingle vocabulary approaches occurrence
-    # count the join degrades gracefully (Spark falls back to a shuffle
-    # join once the estimate exceeds the broadcast cap — same result).
-    # The k array_min(transform(sh, md5...)) alternative stays a trap:
-    # Catalyst re-inlines split(text) per element_at, O(words² · k)/doc.
-    ex = docs.select("doc_id", F.explode(_word_bigrams()).alias("g"))
-    ghash = ex.select("g").distinct().select(
-        "g",
-        *[
-            F.md5(F.concat(F.lit(f"{s}|"), F.col("g"))).alias(f"h{s}")
-            for s in range(k)
-        ],
-    )
-    # materialize the signature table: the LSH self-join probes it twice and
-    # at scale you persist signatures anyway (they're the dedup index).
-    # scoped_persist registers the cache for harness-driven release after the
-    # caller consumes the result (the returned plan still probes it, so the
-    # operator can't unpersist here itself) — see operators/resources.py.
+    # stage 1: per-doc signatures in ONE vectorized pass (guide §4.2). All
+    # k signature hashes md5(s|g) are functions of the shingle alone, so
+    # the UDF caches each distinct shingle's k digests per task and takes
+    # the per-slot mins with numpy — the round-5 inline form recomputed
+    # corpus x shingles x k digests (165M md5s at sf1.0, measured 78 s on
+    # the single-split scan task; a vocabulary-broadcast join variant
+    # materialized k hash strings per occurrence row, ~5.5 GB of
+    # projection, and was 6x slower than this). On a corpus with little
+    # shingle repetition the cache degrades gracefully to the inline cost,
+    # per task, with bounded (task-local-vocab) memory.
+    # scoped_persist: the LSH self-join probes the signature table twice,
+    # and at scale you persist signatures anyway (they're the dedup
+    # index); released by the harness (operators/resources.py).
     sigs = scoped_persist(
-        ex.join(F.broadcast(ghash), "g")
-        .groupBy("doc_id")
-        .agg(*[F.min(f"h{s}").alias(f"mh{s}") for s in range(k)])
+        docs.select("doc_id", _minhash_sig_udf(k)(_word_bigrams()).alias("sig"))
     )
     # AND within a band: the band key hashes r consecutive slots together
     def band_key(i: int):
-        return F.md5(F.concat_ws("|", *[F.col(f"mh{i * r + j}") for j in range(r)]))
+        return F.md5(
+            F.concat_ws(
+                "|", *[F.element_at("sig", i * r + j + 1) for j in range(r)]
+            )
+        )
 
     # explode to (band, key, doc) and pair within buckets — the LSH shuffle
     bands = sigs.select(
@@ -714,9 +761,15 @@ def d08_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     n_nodes = max(int(pairs.count()) * 2, 1)
     barrier_parts = max(1, n_nodes // 500_000 + (1 if n_nodes % 500_000 else 0))
 
-    def barrier(df: DataFrame, name: str) -> DataFrame:
+    def barrier(df: DataFrame, name: str, obs=None) -> DataFrame:
         p = os.path.join(tmp, name)
-        df.coalesce(barrier_parts).write.mode("overwrite").parquet(p)
+        out = df.coalesce(barrier_parts)
+        if obs is not None:
+            # ride the convergence sum on the barrier WRITE job (observe
+            # metrics) instead of a second per-round aggregate job over the
+            # written files — halves the per-round job count
+            out = out.observe(obs, F.sum("label").alias("s"))
+        out.write.mode("overwrite").parquet(p)
         return spark.read.parquet(p)
 
     adj = barrier(
@@ -738,6 +791,8 @@ def d08_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     # lands on the identical state. The sum rides on the barrier read
     # (one cheap agg per round); at sf0.01 this stops at 13/16, at sf0.1
     # earlier — rounds saved are parquet round-trips saved.
+    from pyspark.sql import Observation
+
     prev_sum = None
     for i in range(D08_ROUNDS):
         prop = (
@@ -749,6 +804,7 @@ def d08_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         jump = x.join(y, F.col("x.label") == F.col("y.doc_id")).select(
             F.col("x.doc_id").alias("doc_id"), F.col("y.label").alias("jl")
         )
+        obs = Observation(f"d08_round_{i}")
         labels = barrier(
             labels.join(prop, "doc_id", "left")
             .join(jump, "doc_id", "left")
@@ -761,11 +817,13 @@ def d08_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
                 ).alias("label"),
             ),
             f"r{i + 1}",
+            obs,
         )
         fs.rmtree(os.path.join(tmp, f"r{i}"))
         # exact: per-doc labels only ever decrease (least(...) includes the
-        # old label), so an unchanged SUM means NO label changed
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        # old label), so an unchanged SUM means NO label changed; the sum
+        # is observed during the barrier write itself
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             break  # fixed point — identical to running all D08_ROUNDS
         prev_sum = cur_sum
@@ -1143,7 +1201,7 @@ def _corpus_with_planted(docs: DataFrame) -> DataFrame:
 
 
 def d13_training_corpus(spark: SparkSession, sf: str) -> DataFrame:
-    docs = _corpus_with_planted(T(spark, sf, "documents"))
+    docs = _corpus_with_planted(spread(T(spark, sf, "documents")))
     w = _words()
     n_tokens = F.size(w)
     n_stop = F.size(F.filter(w, lambda t: t.isin(*STOPWORDS)))
