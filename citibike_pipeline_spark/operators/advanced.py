@@ -112,24 +112,65 @@ _SESSION_SCHEMA = StructType(
 
 
 def q26_grouped_apply_stats(spark: SparkSession, sf: str) -> DataFrame:
-    ev = T(spark, sf, "events")
+    # guide §4.1: applyInPandas is opaque to column pruning — without the
+    # explicit select, every group ships event_type and the JSON props
+    # payload through Arrow (most of the table's bytes) for a function
+    # that reads four columns
+    ev = T(spark, sf, "events").select("user_id", "ts", "event_id", "value")
 
     def walk(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        gaps = pdf["ts"].diff().dt.total_seconds()
-        drops = (pdf["value"].diff() < 0).sum()
+        # vectorized per-user walk over a SALT BUCKET of users: one lexsort
+        # by (user, ts, event_id), per-user segments via boundary masks +
+        # ufunc.reduceat. Identical math to the one-user-per-call form this
+        # replaces: gap seconds are the same ns-int64 diff / 1e9 double
+        # total_seconds computed, the sequential reduceat sum of the
+        # 2-decimal-rounded values can only differ from pandas' sum by ULPs
+        # that the final round(., 2) absorbs (2-decimal rationals sit 0.005
+        # from a rounding boundary, fp error is ~1e-12), and the final
+        # int(floor)/round(., 2) are the same Python scalar ops per group.
+        import numpy as np
+
+        uid = pdf["user_id"].to_numpy()
+        ts = pdf["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        eid = pdf["event_id"].to_numpy()
+        val = pdf["value"].to_numpy().astype(np.float64)
+        o = np.lexsort((eid, ts, uid))
+        uid, ts, val = uid[o], ts[o], val[o]
+        n = len(uid)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        starts = np.nonzero(new)[0]
+        counts = np.diff(np.append(starts, n))
+        within = ~new[1:]  # pair (i, i+1) is inside one user's run
+        secs = np.where(within, (ts[1:] - ts[:-1]) / 1e9, -np.inf)
+        gmax = np.maximum.reduceat(np.append(secs, -np.inf), starts)
+        dv = np.where(within & (val[1:] - val[:-1] < 0), 1, 0)
+        drops = np.add.reduceat(np.append(dv, 0), starts)
+        totals = np.add.reduceat(np.round(val, 2), starts)
         return pd.DataFrame(
             {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "n_events": [len(pdf)],
-                "max_gap_sec": [None if len(pdf) < 2 else int(gaps.max() // 1)],
-                "n_value_drops": [int(drops)],
-                "total_value": [round(float(
-                    pdf["value"].astype("float64").round(2).sum()), 2)],
+                "user_id": pd.Series(uid[starts], dtype="int64"),
+                "n_events": pd.Series(counts, dtype="int32"),
+                "max_gap_sec": [
+                    None if c < 2 else int(g // 1)
+                    for c, g in zip(counts, gmax)
+                ],
+                "n_value_drops": pd.Series(drops, dtype="int32"),
+                "total_value": [round(float(t), 2) for t in totals],
             }
         )
 
-    return ev.groupBy("user_id").applyInPandas(walk, schema=_SESSION_SCHEMA)
+    # salt users into ~2x-parallelism buckets so the grouped-apply pays the
+    # per-call Arrow/pandas overhead per BUCKET, not per user (15k calls ->
+    # ~64 at sf1.0; the per-group semantics live in the reduceat segments).
+    # Bucket count never affects the result — it only sizes the tasks.
+    n_buckets = max(spark.sparkContext.defaultParallelism * 2, 8)
+    return (
+        ev.withColumn("_bkt", F.pmod("user_id", F.lit(n_buckets)))
+        .groupBy("_bkt")
+        .applyInPandas(walk, schema=_SESSION_SCHEMA)
+    )
 
 
 Q26_SQL = """

@@ -902,8 +902,18 @@ def _kmeans_fit(
     key = (spark.sparkContext.applicationId, sf, k, iters)
     if key in _KMEANS_MEMO:
         return _KMEANS_MEMO[key]
-    emb = spread(T(spark, sf, "embeddings")).select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    # persist the casted input for the fit's lifetime: every Lloyd round
+    # (and the seed pass) starts from the ~n x dims cached rows instead of
+    # re-running the parquet scan + spread() exchange per iteration (guide
+    # §5: reuse beats recompute for a tiny, hot intermediate). Released
+    # before returning — the fit's output is a driver-side dict, so no
+    # returned plan references the cache.
+    emb = (
+        spread(T(spark, sf, "embeddings"))
+        .select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+        )
+        .persist()
     )
     n = _corpus_n(spark, sf)
     stride = max(n // k, 1)
@@ -916,6 +926,21 @@ def _kmeans_fit(
         .collect()
     )
     cents = {r.cid: list(r.c) for r in seed_rows}
+    # per-dim means as DIMS separate decimal-sum aggregates in ONE
+    # groupBy(cid) — the identical decimal(28,12) sums and ROUND the old
+    # posexplode + groupBy(cid, dim) + re-assemble computed, without
+    # materializing n x DIMS exploded rows through a 2-level aggregate
+    # (measured ~0.5 s -> ~0.15 s per Lloyd round at sf1.0) and with one
+    # exchange instead of two. Constant expression shape across rounds, so
+    # codegen still compiles once.
+    dim_means = [
+        F.round(
+            F.sum(F.element_at("e", d + 1).cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias(f"cm{d}")
+        for d in range(DIMS)
+    ]
     for _ in range(iters):
         # centroids ride in the pandas-UDF task closure (bit-identical
         # argmin, see _np_assign_cid_udf); `e` is carried through instead
@@ -924,29 +949,11 @@ def _kmeans_fit(
         assign = emb.select(
             "vec_id", _np_assign_cid_udf(cents)(F.col("e")).alias("cid"), "e"
         )
-        upd = (
-            assign
-            .select("cid", F.posexplode("e").alias("dim", "v"))
-            .groupBy("cid", "dim")
-            .agg(
-                F.round(
-                    F.sum(F.col("v").cast("decimal(28,12)")).cast("double")
-                    / F.count(F.lit(1)),
-                    6,
-                ).alias("cm")
-            )
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "cm"))),
-                    lambda s: s["cm"],
-                ).alias("c")
-            )
-            .collect()
-        )
-        new = {r.cid: list(r.c) for r in upd}
+        upd = assign.groupBy("cid").agg(*dim_means).collect()
+        new = {r.cid: [r[d + 1] for d in range(DIMS)] for r in upd}
         # empty clusters keep their previous centroid
         cents = {cid: new.get(cid, old) for cid, old in cents.items()}
+    emb.unpersist()
     _KMEANS_MEMO.clear()  # bound: one live fit per session
     _KMEANS_MEMO[key] = cents
     return cents
@@ -1316,8 +1323,12 @@ def _pq_fit(
     key = (spark.sparkContext.applicationId, sf, ksub, iters, tag)
     if key in _PQ_MEMO:
         return _PQ_MEMO[key]
-    if blocks is None:
-        blocks = _pq_blocks_df(spark, sf)
+    own_blocks = blocks is None
+    if own_blocks:
+        # persist for the fit's lifetime (the _kmeans_fit rationale: seeds +
+        # every Lloyd round re-read these rows); callers passing `blocks`
+        # (e13's residuals) persist on their side already
+        blocks = _pq_blocks_df(spark, sf).persist()
     n = _corpus_n(spark, sf)
     stride = max(n // ksub, 1)
     seeds = (
@@ -1332,33 +1343,33 @@ def _pq_fit(
         .collect()
     )
     cents = {(r.block, r.cid): list(r.c) for r in seeds}
+    # per-dim means as one decimal-sum aggregate per block dimension in one
+    # groupBy — the _kmeans_fit rationale: identical decimal sums/ROUND, no
+    # exploded-row materialization, one exchange instead of two. The block
+    # width comes from the seeds (PQ_SUB for the standard layout, full
+    # width when a caller trains on whole vectors as a single block).
+    ndims = len(next(iter(cents.values())))
+    dim_means = [
+        F.round(
+            F.sum(F.element_at("e", d + 1).cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias(f"cm{d}")
+        for d in range(ndims)
+    ]
     for _ in range(iters):
         assign = blocks.select(
             "block",
             _np_pq_assign_udf(cents)(F.col("block"), F.col("e")).alias("cid"),
             "e",
         )
-        upd = (
-            assign.select("block", "cid", F.posexplode("e").alias("dim", "v"))
-            .groupBy("block", "cid", "dim")
-            .agg(
-                F.round(
-                    F.sum(F.col("v").cast("decimal(28,12)")).cast("double")
-                    / F.count(F.lit(1)),
-                    6,
-                ).alias("cm")
-            )
-            .groupBy("block", "cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "cm"))),
-                    lambda s: s["cm"],
-                ).alias("c")
-            )
-            .collect()
-        )
-        new = {(r.block, r.cid): list(r.c) for r in upd}
+        upd = assign.groupBy("block", "cid").agg(*dim_means).collect()
+        new = {
+            (r.block, r.cid): [r[d + 2] for d in range(ndims)] for r in upd
+        }
         cents = {k2: new.get(k2, old) for k2, old in cents.items()}
+    if own_blocks:
+        blocks.unpersist()
     _PQ_MEMO.clear()  # bound: one live fit per session
     _PQ_MEMO[key] = cents
     return cents

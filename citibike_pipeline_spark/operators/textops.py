@@ -212,15 +212,51 @@ D03_SQL = _langid_sql()
 # (winnowing-style); fingerprint collisions = near-dup candidates
 # --------------------------------------------------------------------------
 
+def _char8_minhash_udf():
+    """min over character-8-gram positions of md5(gram), BIT-IDENTICAL to
+    array_min(transform(shingles, md5)): python bytes compare lexicographic
+    == hex-string compare (hex is order-isomorphic to digest bytes), slicing
+    and Spark substring are both character-based, and md5 hashes the UTF-8
+    bytes either way. Shingle grid matches sequence(1, greatest(len-7, 1)):
+    full-width grams for len >= 8, the whole (short) text otherwise, md5("")
+    for empty. Distinct grams hash once per task (the d05 vocabulary-cache
+    idiom, guide §4.5) — duplicate grams can't change a min — which is the
+    point: the JVM form re-hashed every position of every doc (~75M md5s at
+    sf1.0); here repeated boilerplate 8-grams cost one dict probe."""
+
+    @F.pandas_udf("string")
+    def fp(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import hashlib
+
+        md5 = hashlib.md5
+        cache: dict = {}
+        for batch in it:
+            out = []
+            for t in batch:
+                if t is None:
+                    out.append(None)
+                    continue
+                n = len(t)
+                grams = (t[i : i + 8] for i in range(n - 7)) if n >= 8 else (t,)
+                best = None
+                cg = cache.get
+                for g in grams:
+                    d = cg(g)
+                    if d is None:
+                        d = cache[g] = md5(g.encode()).digest()
+                    if best is None or d < best:
+                        best = d
+                out.append(best.hex())
+            yield pd.Series(out, dtype="object")
+
+    return fp
+
+
 def d04_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    # spread: ~300 md5 digests per doc of per-row compute — the single-file
+    # spread: ~1500 grams per doc of per-row compute — the single-file
     # single-row-group scan otherwise runs the whole hash pass on one task
     docs = spread(T(spark, sf, "documents"))
-    c = F.col("text")
-    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - 7, F.lit(1)))
-    shingles = F.transform(idx, lambda i: F.substring(c, i, 8))
-    fp = F.array_min(F.transform(shingles, lambda g: F.md5(g)))
-    fps = docs.select("doc_id", fp.alias("fingerprint"))
+    fps = docs.select("doc_id", _char8_minhash_udf()("text").alias("fingerprint"))
     return fps.groupBy("fingerprint").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id")
     ).filter(F.col("n_docs") >= 1)
@@ -264,6 +300,12 @@ def _minhash_sig_udf(k: int):
     def sig(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         import hashlib
 
+        md5 = hashlib.md5
+        # byte prefixes b"0|", b"1|", ... once per task: md5(prefix + g
+        # bytes) is byte-identical input to md5(f"{s}|{g}".encode()), but
+        # skips k string formats and k-1 re-encodes per distinct shingle
+        # (the formatting was ~40% of the hash loop)
+        prefixes = [b"%d|" % s for s in range(k)]
         vocab: dict = {}
         hrows: list = []
         lrows: list = []
@@ -280,11 +322,9 @@ def _minhash_sig_udf(k: int):
                     i = vg(g)
                     if i is None:
                         i = vocab[g] = len(vocab)
+                        ge = g.encode()
                         dig = np.frombuffer(
-                            b"".join(
-                                hashlib.md5(("%d|%s" % (s, g)).encode()).digest()
-                                for s in range(k)
-                            ),
+                            b"".join(md5(p + ge).digest() for p in prefixes),
                             dtype=">u8",
                         ).reshape(k, 2)
                         hrows.append(dig[:, 0])
@@ -416,11 +456,81 @@ D05_SQL = _d05_sql()
 # 64-bit corpus-scale variant swaps the bit source to xxhash64.
 # --------------------------------------------------------------------------
 
+def _simhash_udf(bits: int):
+    """Per-doc SimHash in ONE vectorized pass, BIT-IDENTICAL to the
+    explode + vocabulary-join + per-bit-sum pipeline for widths <= 32:
+    token split is str.split(" ") (== Spark split on the single-space
+    regex, trailing/consecutive empties included), bit j of a token is the
+    high bit of md5 hex nibble j+1 (byte j>>1, high nibble for even j —
+    exactly the substring(h, j+1, 1) IN ('8'..'f') test), the per-doc
+    per-bit majority sums every OCCURRENCE (duplicates count), and null
+    text contributes -1 per bit (simhash 0) like the explode_outer +
+    coalesce(-1) row did. Distinct tokens hash once per task (the d04/d05
+    vocabulary-cache idiom); per-doc sums are one np.add.reduceat over the
+    batch — no 12.5M-row explode, no vocabulary shuffle/broadcast, no
+    bits-wide aggregate (measured ~3.8 s -> ~1 s at sf1.0)."""
+    powers = np.left_shift(np.int64(1), np.arange(bits, dtype=np.int64))
+
+    @F.pandas_udf("long")
+    def sh(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import hashlib
+
+        md5 = hashlib.md5
+        cache: dict = {}
+        rows: list = []
+        jj = range(bits)
+        for batch in it:
+            out = np.zeros(len(batch), dtype=np.int64)
+            idx_all: list = []
+            lens = np.zeros(len(batch), dtype=np.int64)
+            nonnull = np.ones(len(batch), dtype=bool)
+            for i, t in enumerate(batch):
+                if t is None:
+                    nonnull[i] = False
+                    continue
+                toks = t.split(" ")
+                lens[i] = len(toks)
+                cg = cache.get
+                ap = idx_all.append
+                for w in toks:
+                    v = cg(w)
+                    if v is None:
+                        d = md5(w.encode()).digest()
+                        v = cache[w] = len(rows)
+                        rows.append(
+                            [
+                                1
+                                if (d[j >> 1] >> (0 if j & 1 else 4)) & 8
+                                else -1
+                                for j in jj
+                            ]
+                        )
+                    ap(v)
+            if idx_all:
+                V = np.asarray(rows, dtype=np.int64)
+                S = V[np.asarray(idx_all, dtype=np.int64)]
+                nz = lens[nonnull]
+                offsets = np.zeros(len(nz), dtype=np.int64)
+                np.cumsum(nz[:-1], out=offsets[1:])
+                sums = np.add.reduceat(S, offsets, axis=0)
+                out[nonnull] = ((sums > 0) * powers).sum(axis=1)
+            yield pd.Series(out)
+
+    return sh
+
+
 def d06_simhash(spark: SparkSession, sf: str, bits: int | None = None) -> DataFrame:
     docs = T(spark, sf, "documents")
     if bits is None:
         bits = auto_simhash_bits(docs.count())  # 8 at the gate corpus
     docs = spread(docs)
+    if bits <= 32:
+        hashed = docs.select(
+            "doc_id", _simhash_udf(bits)("text").alias("simhash")
+        )
+        return hashed.groupBy("simhash").agg(
+            F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id")
+        )
     # Bit source per width (sizing.py): widths ≤32 draw bit j from the high
     # bit of hex nibble j+1 of md5(token) — the path the DuckDB oracle
     # evaluates identically at gate widths. Widths >32 (corpora past ~2^33
