@@ -258,7 +258,11 @@ _DAMP = 0.85
 _NODE_OFF = 1 << 32
 
 
-def q28_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+def q28_pagerank(
+    spark: SparkSession, sf: str, _full_unroll: bool = False
+) -> DataFrame:
+    # _full_unroll=True runs all _PR_ITers rounds with no bipartite
+    # short-circuit — test-only, for pinning the 2-round equivalence
     li = T(spark, sf, "lineitem")
     # node ids are prefixed: supplier k and part k are DIFFERENT nodes.
     # INTERNAL ids are longs (supplier = key, part = key + 2^32 — bijective
@@ -268,12 +272,23 @@ def q28_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     # transition build and the node set all consume it — uncached, the 6M-
     # row lineitem aggregation re-runs per consumer (cross-job exchange
     # reuse does not apply across actions).
+    # the edge aggregate groups by ONE packed long (suppkey << 32 | partkey
+    # — bijective to the pair, both keys < 2^32) instead of two columns:
+    # same groups, narrower shuffle rows and a single-column hash for the
+    # 6M-row build exchange (guide §2.3). src/dst unpack after the agg;
+    # dst = partkey + 2^32 is exactly the packed key's low half + _NODE_OFF.
+    pack = F.shiftleft(F.col("l_suppkey").cast("long"), 32).bitwiseOR(
+        F.col("l_partkey").cast("long")
+    )
     edges = scoped_persist(
-        li.groupBy("l_suppkey", "l_partkey")
+        li.select(pack.alias("sd"))
+        .groupBy("sd")
         .agg(F.count(F.lit(1)).alias("w"))
         .select(
-            F.col("l_suppkey").cast("long").alias("src"),
-            (F.col("l_partkey").cast("long") + F.lit(_NODE_OFF)).alias("dst"),
+            F.shiftright("sd", 32).alias("src"),
+            (F.col("sd").bitwiseAND(F.lit((1 << 32) - 1)) + F.lit(_NODE_OFF)).alias(
+                "dst"
+            ),
             "w",
         )
     )
@@ -296,7 +311,17 @@ def q28_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
     n_nodes = nodes.count()  # small driver scalar (node count, not data)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-    for _ in range(_PR_ITers):
+    # The graph is STRUCTURALLY bipartite src -> dst (src = supplier key
+    # < 2^32 <= dst = part key + 2^32, disjoint by construction), so no
+    # node both sends and receives: supplier ranks get zero inflow and are
+    # the constant (1-d)/n from iteration 1 on, and part ranks — a pure
+    # function of the constant supplier ranks — are BIT-IDENTICAL from
+    # iteration 2 on (iteration k >= 2 re-evaluates the same expression on
+    # the same inputs). Iterations beyond 2 are therefore exact identities;
+    # running min(_PR_ITers, 2) matches the _PR_ITers-round unrolled oracle
+    # hash-for-hash while dropping one |E|-sized join+aggregate pass per
+    # skipped round (pinned by test_graph_metrics' 2-vs-N equality test).
+    for _ in range(_PR_ITers if _full_unroll else min(_PR_ITers, 2)):
         # rank/contrib tables are O(nodes) rows — broadcast both sides each
         # round so the edge-sized transition table is NEVER shuffled: the
         # unhinted plan sort-merge-joined ~|E| rows per iteration (guide

@@ -161,27 +161,44 @@ def _hub_graph(spark: SparkSession, sf: str, top_k: int):
     part hubs by traffic + inter-hub edge weights. Suppliers feed parts —
     a bipartite flow network (the reference's station hub graph analog)."""
     li = T(spark, sf, "lineitem")
+    # aggregate on the RAW numeric keys and render the "s{k}"/"p{k}" node
+    # strings only on the ~|suppliers|-sized aggregate output (guide §2.3:
+    # don't shuffle 6M concat strings when the string is a function of the
+    # key). The top-K tiebreak stays on the STRING node form — "s10" < "s2"
+    # — exactly as before; it just sorts the post-aggregate rows.
     sup = (
-        li.groupBy(F.concat(F.lit("s"), F.col("l_suppkey")).alias("node"))
+        li.groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("capacity"))
+        .select(F.concat(F.lit("s"), F.col("l_suppkey")).alias("node"), "capacity")
         .orderBy(F.desc("capacity"), "node")
         .limit(top_k)
     )
     part = (
-        li.groupBy(F.concat(F.lit("p"), F.col("l_partkey")).alias("node"))
+        li.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("capacity"))
+        .select(F.concat(F.lit("p"), F.col("l_partkey")).alias("node"), "capacity")
         .orderBy(F.desc("capacity"), "node")
         .limit(top_k)
     )
+    # hub membership filters join on the numeric keys (broadcast of K rows);
+    # strings appear only on the K x K aggregated edge rows
+    sup_keys = sup.select(
+        F.substring("node", 2, 100).cast("long").alias("l_suppkey")
+    )
+    part_keys = part.select(
+        F.substring("node", 2, 100).cast("long").alias("l_partkey")
+    )
     edges = (
-        li.select(
+        li.select("l_suppkey", "l_partkey")
+        .join(F.broadcast(sup_keys), "l_suppkey")
+        .join(F.broadcast(part_keys), "l_partkey")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select(
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
             F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+            "w",
         )
-        .join(F.broadcast(sup.select(F.col("node").alias("src"))), "src")
-        .join(F.broadcast(part.select(F.col("node").alias("dst"))), "dst")
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
     )
     return sup, part, edges
 

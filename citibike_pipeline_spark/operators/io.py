@@ -36,3 +36,19 @@ def spread(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def spread_ranged(df: DataFrame, col: str) -> DataFrame:
+    """spread() for consumers with a PER-TASK memo over row content (the
+    d04/d05 shingle-vocabulary caches): range-partition on ``col`` instead
+    of round-robin, so content-adjacent rows (documents written near each
+    other share boilerplate/vocabulary) land on the SAME task and the
+    task-local cache absorbs their repeats, instead of every task re-hashing
+    most of the global vocabulary. Same no-op-at-scale guard as spread();
+    results are unchanged for any row-order-insensitive consumer (the only
+    kind allowed above a spread)."""
+    spark = df.sparkSession
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < target:
+        return df.repartitionByRange(target, col)
+    return df

@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .io import T, spread
+from .io import T, spread, spread_ranged
 from .resources import scoped_persist, scratch_dir
 from .sizing import GATE_N_DOCS, auto_minhash_bands, auto_simhash_bits
 
@@ -151,41 +151,78 @@ FROM documents
 # agreement with the labeled lang column per (label, prediction) cell.
 # --------------------------------------------------------------------------
 
+def _langid_pred_udf():
+    """Per-doc predicted language in one vectorized pass, BIT-IDENTICAL to
+    the explode + vocabulary-join + per-lang-sum pipeline: score(lang) =
+    # token OCCURRENCES whose md5(lang||token) first hex nibble < 4 (the
+    '< "4"' single-hex-char test == digest[0] >> 4 < 4 — hex chars order
+    like their nibble values there), argmax over scores with first-in-LANGS
+    tie order (np.argmax returns the first maximum over LANGS-ordered
+    columns — the same when()-chain order). Distinct tokens hash their 5
+    lang bits once per task (the d04/d05/d06 vocabulary-cache idiom);
+    per-doc sums are one np.add.reduceat over the batch — no 12.5M-row
+    explode, no vocabulary shuffle/broadcast (the vocabulary IS the
+    per-task cache), no 5-sum aggregate exchange."""
+    langs = list(LANGS)
+
+    @F.pandas_udf("string")
+    def pred(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import hashlib
+
+        md5 = hashlib.md5
+        enc = [l.encode() for l in langs]
+        cache: dict = {}
+        rows: list = []
+        for batch in it:
+            out = []
+            idx_all: list = []
+            lens: list = []
+            docpos: list = []
+            for i, t in enumerate(batch):
+                if t is None:
+                    out.append(None)
+                    continue
+                toks = t.split(" ")
+                lens.append(len(toks))
+                docpos.append(i)
+                out.append("")  # placeholder, filled below
+                cg = cache.get
+                ap = idx_all.append
+                for w in toks:
+                    v = cg(w)
+                    if v is None:
+                        wb = w.encode()
+                        v = cache[w] = len(rows)
+                        rows.append(
+                            [
+                                1 if md5(p + wb).digest()[0] < 0x40 else 0
+                                for p in enc
+                            ]
+                        )
+                    ap(v)
+            if idx_all:
+                V = np.asarray(rows, dtype=np.int64)
+                S = V[np.asarray(idx_all, dtype=np.int64)]
+                lens_a = np.asarray(lens, dtype=np.int64)
+                offsets = np.zeros(len(lens_a), dtype=np.int64)
+                np.cumsum(lens_a[:-1], out=offsets[1:])
+                sums = np.add.reduceat(S, offsets, axis=0)
+                picks = np.argmax(sums, axis=1)
+                for p, i in zip(picks, docpos):
+                    out[i] = langs[p]
+            yield pd.Series(out, dtype="object")
+
+    return pred
+
+
 def d03_langid(spark: SparkSession, sf: str) -> DataFrame:
-    docs = spread(T(spark, sf, "documents"))
-    # score(lang) = # token OCCURRENCES whose md5(lang||token) starts with a
-    # nibble < '4' — the hash depends only on the token, so hash each
-    # DISTINCT token once (the vocabulary: token TYPES, dictionary-sized at
-    # any corpus scale — this is exactly the broadcast dictionary a langid
-    # model ships) and sum the per-token lang bits per document. The array-
-    # filter form recomputed 5 md5s per occurrence: corpus x tokens x langs
-    # digests instead of vocab x langs (guide §1.2 step 1 / §2.3 — don't
-    # recompute per row what is a function of a small key domain). Counts
-    # are identical; argmax with fixed tie order LANGS as before.
-    tokens = docs.select("doc_id", "lang", F.explode(_words()).alias("t"))
-    bits = tokens.select("t").distinct().select(
-        "t",
-        *[
-            (F.substring(F.md5(F.concat(F.lit(l), F.col("t"))), 1, 1) < F.lit("4"))
-            .cast("long")
-            .alias(f"bit_{l}")
-            for l in LANGS
-        ],
+    docs = spread_ranged(T(spark, sf, "documents"), "doc_id")
+    # docs with null text have no token rows in the explode form and thus
+    # no scored row — the filter reproduces exactly that drop
+    scored = docs.filter(F.col("text").isNotNull()).select(
+        "lang", _langid_pred_udf()("text").alias("pred_lang")
     )
-    scored = (
-        tokens.join(F.broadcast(bits), "t")
-        .groupBy("doc_id", "lang")
-        .agg(*[F.sum(f"bit_{l}").alias(f"score_{l}") for l in LANGS])
-    )
-    best = F.greatest(*[F.col(f"score_{l}") for l in LANGS])
-    pred = F.when(F.col(f"score_{LANGS[0]}") == best, LANGS[0])
-    for l in LANGS[1:]:
-        pred = pred.when(F.col(f"score_{l}") == best, l)
-    return (
-        scored.select("doc_id", "lang", pred.alias("pred_lang"))
-        .groupBy("lang", "pred_lang")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    return scored.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
 
 
 def _langid_sql() -> str:
@@ -254,8 +291,9 @@ def _char8_minhash_udf():
 
 def d04_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     # spread: ~1500 grams per doc of per-row compute — the single-file
-    # single-row-group scan otherwise runs the whole hash pass on one task
-    docs = spread(T(spark, sf, "documents"))
+    # single-row-group scan otherwise runs the whole hash pass on one task;
+    # RANGED so content-adjacent docs share one task's gram cache
+    docs = spread_ranged(T(spark, sf, "documents"), "doc_id")
     fps = docs.select("doc_id", _char8_minhash_udf()("text").alias("fingerprint"))
     return fps.groupBy("fingerprint").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id")
@@ -353,7 +391,7 @@ def d05_minhash_lsh_pairs(
         ab, ar = auto_minhash_bands(docs.count())
         b = ab if b is None else b
         r = ar if r is None else r
-    docs = spread(docs)
+    docs = spread_ranged(docs, "doc_id")
     k = b * r
     # stage 1: per-doc signatures in ONE vectorized pass (guide §4.2). All
     # k signature hashes md5(s|g) are functions of the shingle alone, so
@@ -523,7 +561,7 @@ def d06_simhash(spark: SparkSession, sf: str, bits: int | None = None) -> DataFr
     docs = T(spark, sf, "documents")
     if bits is None:
         bits = auto_simhash_bits(docs.count())  # 8 at the gate corpus
-    docs = spread(docs)
+    docs = spread_ranged(docs, "doc_id")
     if bits <= 32:
         hashed = docs.select(
             "doc_id", _simhash_udf(bits)("text").alias("simhash")

@@ -123,3 +123,22 @@ def test_d08_clusters_match_networkx_components(spark):
     assert got == want
     assert len(got) > 100  # real signal: a third of the corpus pairs up
     assert max(s for _, s in got.values()) >= 3  # multi-doc chains exist
+
+
+def test_q28_two_rounds_equal_full_unroll(spark):
+    """The q28 graph is structurally bipartite (supplier src < 2^32 <= part
+    dst), so supplier ranks are constant after round 1 and part ranks are a
+    pure function of them from round 2 on: every round past 2 is an exact
+    identity. This pins the short-circuited production path bit-for-bit
+    against the full _PR_ITers unroll the oracle computes."""
+    from citibike_pipeline_spark.operators.advanced import q28_pagerank
+    from citibike_pipeline_spark.operators.resources import (
+        release_query_resources,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    fast = q28_pagerank(spark, sf).toPandas()
+    release_query_resources(spark)
+    full = q28_pagerank(spark, sf, _full_unroll=True).toPandas()
+    release_query_resources(spark)
+    assert fast.equals(full), "2-round short-circuit diverged from full unroll"
