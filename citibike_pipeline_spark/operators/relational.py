@@ -975,6 +975,15 @@ def q40_sketch_aggregates(spark: SparkSession, sf: str) -> DataFrame:
     # approx_percentile at accuracy=10000: rank error <= n/accuracy, so the
     # sketch p90 must land within the group's value range scaled by 1% —
     # bounded here as within 1% of the value span around the exact p90.
+    # CAVEAT (r6 advice, documented): both flags are HEURISTIC bounds, not
+    # hard guarantees — the sketch's contract is RANK error, which implies a
+    # small VALUE error only for non-pathological distributions, and the HLL
+    # 3-sigma band has a nonzero legitimate-exceedance probability. The
+    # frozen oracle pins both flags TRUE for THIS deterministic corpus
+    # (stable across runs); on a new corpus a legitimate exceedance would
+    # surface as a gate diff, to be re-derived via a rank-bracket test
+    # (compare the sketch against exact values at ranks p90*n +/- n/acc)
+    # rather than by widening these constants.
     span = F.col("_v_max") - F.col("_v_min")
     return agg.select(
         "event_type",

@@ -52,7 +52,16 @@ TOMBSTONE_SCHEMA = StructType(
 
 
 class StreamingTombstoneJoin:
-    """WAL tail (D side) ⋈ WAL tail (U side) within the hour before."""
+    """WAL tail (D side) ⋈ WAL tail (U side) within the hour before.
+
+    Contract (r6 advice, made explicit): this operator INTENTIONALLY joins
+    RAW ARRIVALS, not LWW-resolved events — it is a wire-level diagnostic
+    ("which delete arrivals had a recent update arrival for the same
+    turn"), so same-lsn op ties that the engine's merge order (U>I>D,
+    cdc/dedup.py) resolves away still produce matches here, including a
+    tie-D paired with its own same-lsn U twin. Consumers wanting
+    resolved-event semantics should read the merged silver table instead;
+    the batch-parity test encodes the raw-arrival contract on purpose."""
 
     TABLE = "gold.tombstone_matches"
 

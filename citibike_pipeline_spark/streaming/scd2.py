@@ -12,11 +12,16 @@ while the stream runs. I and U both open versions (an insert opens version
 
 Versioning axis: LSN, the WAL's total order — matching the engine's
 LWW-on-lsn merge semantics (cdc/dedup.py), not wall-clock ts (q34's axis;
-the events table there has no lsn). Late events whose lsn is below the
+the events table there has no lsn). Events whose lsn is at or below the
 key's high-water mark are DROPPED and counted (`n_late_dropped`): the
 sanctioned repair path for out-of-order history is the batch rebuild, the
-same contract as watermarked aggregates. The WAL tail delivers epoch files
-in order, so in practice this counter stays 0 (asserted in tests).
+same contract as watermarked aggregates. NOTE (r6 advice): the counter
+conflates two populations — the generator redelivers ~2% of each epoch
+into the next (duplicate lsns the high-water check correctly drops), so
+`n_late_dropped` is NONZERO by design under redelivery; it counts benign
+duplicate redeliveries PLUS genuinely late new events. Treat it as an
+at-least-once-delivery gauge, not a pure lateness alarm; a spike without a
+matching redelivery rate is the repair-trigger signal.
 
 State per key: the high-water lsn, the version counter, and the currently
 open version (lsn/ts/role) — O(1) per key regardless of history length;
