@@ -168,8 +168,19 @@ def e02_lsh_buckets(
     if n_planes is None:
         # auto-size from the scanned corpus (sizing.py); 8 at the gate corpus
         n_planes = auto_lsh_planes(emb.count())
+    # bucket via e03's vectorized SRP kernel with ONE table — bit-identical
+    # to _bucket_expr (same literal components, dim-ordered accumulation ==
+    # the zip_with left fold, same strict > 0, same Σ 2^p assembly) without
+    # evaluating planes x dims interpreted scalar ops per row; spread so the
+    # single-split scan doesn't run the whole pass on one task
     return (
-        emb.select("vec_id", _bucket_expr(n_planes).alias("bucket"))
+        spread(emb)
+        .select(
+            "vec_id",
+            F.element_at(
+                _np_srp_buckets_udf(n_planes, 1)(F.col("embedding")), 1
+            ).alias("bucket"),
+        )
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
     )
@@ -902,18 +913,18 @@ def _kmeans_fit(
     key = (spark.sparkContext.applicationId, sf, k, iters)
     if key in _KMEANS_MEMO:
         return _KMEANS_MEMO[key]
-    # persist the casted input for the fit's lifetime: every Lloyd round
-    # (and the seed pass) starts from the ~n x dims cached rows instead of
-    # re-running the parquet scan + spread() exchange per iteration (guide
-    # §5: reuse beats recompute for a tiny, hot intermediate). Released
-    # before returning — the fit's output is a driver-side dict, so no
-    # returned plan references the cache.
-    emb = (
-        spread(T(spark, sf, "embeddings"))
-        .select(
+    # persist the casted input: every Lloyd round (and the seed pass)
+    # starts from the ~n x dims cached rows instead of re-running the
+    # parquet scan + spread() exchange per iteration (guide §5: reuse beats
+    # recompute for a tiny, hot intermediate). scoped_persist, not a
+    # fit-local persist: the cache outlives the fit until the harness
+    # releases it at query end, so the CALLER's final assignment pass —
+    # the identical logical plan — is served from the same cache by the
+    # CacheManager instead of re-scanning.
+    emb = scoped_persist(
+        spread(T(spark, sf, "embeddings")).select(
             "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
         )
-        .persist()
     )
     n = _corpus_n(spark, sf)
     stride = max(n // k, 1)
@@ -953,7 +964,6 @@ def _kmeans_fit(
         new = {r.cid: [r[d + 1] for d in range(DIMS)] for r in upd}
         # empty clusters keep their previous centroid
         cents = {cid: new.get(cid, old) for cid, old in cents.items()}
-    emb.unpersist()
     _KMEANS_MEMO.clear()  # bound: one live fit per session
     _KMEANS_MEMO[key] = cents
     return cents
@@ -1323,12 +1333,12 @@ def _pq_fit(
     key = (spark.sparkContext.applicationId, sf, ksub, iters, tag)
     if key in _PQ_MEMO:
         return _PQ_MEMO[key]
-    own_blocks = blocks is None
-    if own_blocks:
-        # persist for the fit's lifetime (the _kmeans_fit rationale: seeds +
-        # every Lloyd round re-read these rows); callers passing `blocks`
-        # (e13's residuals) persist on their side already
-        blocks = _pq_blocks_df(spark, sf).persist()
+    if blocks is None:
+        # scoped_persist (the _kmeans_fit rationale): seeds + every Lloyd
+        # round re-read these rows, and the caller's encode pass shares the
+        # cache via plan-identical lookup; callers passing `blocks` (e13's
+        # residuals) persist on their side already
+        blocks = scoped_persist(_pq_blocks_df(spark, sf))
     n = _corpus_n(spark, sf)
     stride = max(n // ksub, 1)
     seeds = (
@@ -1368,8 +1378,6 @@ def _pq_fit(
             (r.block, r.cid): [r[d + 2] for d in range(ndims)] for r in upd
         }
         cents = {k2: new.get(k2, old) for k2, old in cents.items()}
-    if own_blocks:
-        blocks.unpersist()
     _PQ_MEMO.clear()  # bound: one live fit per session
     _PQ_MEMO[key] = cents
     return cents
